@@ -1,0 +1,291 @@
+"""User-facing batched API: send/recv/step/reset + dialect adapters.
+
+Behavioral parity targets:
+- action normalization, env_id defaulting, dtype casting, one-time action
+  checking: ``envpool/python/envpool.py:33-120``
+- gym tuple conversion with ``terminated = done & ~trunc`` and the legacy
+  ``TimeLimit.truncated`` key: ``envpool/python/gym_envpool.py:75-97``
+- gymnasium 5-tuple: ``envpool/python/gymnasium_envpool.py:74-90``
+- dm_env TimeStep with obs/info merged namedtuple:
+  ``envpool/python/dm_envpool.py:72-88``
+- class synthesis per family: ``envpool/python/api.py:25-52``.
+"""
+
+from __future__ import annotations
+
+import pprint
+import warnings
+from typing import Any, Dict, List, Optional, Tuple, Type, Union
+
+import numpy as np
+import optree
+
+from .data import dm_structure, gym_structure, gymnasium_structure
+from .env import FuncEnv
+from .env_spec import EnvSpec, make_spec_cls
+from .pool import TpuEnvPool
+
+
+class EnvPoolMixin:
+  """Common send/recv/step/reset veneer over the TpuEnvPool engine."""
+
+  _spec: EnvSpec
+
+  def _check_action(self, actions: List[np.ndarray]) -> None:
+    if hasattr(self, "_check_action_finished"):  # only check once
+      return
+    self._check_action_finished = True
+    for a, (k, v) in zip(actions, self._spec.action_array_spec.items()):
+      if v.dtype != a.dtype:
+        raise RuntimeError(
+          f"Expected dtype {v.dtype} with action \"{k}\", got {a.dtype}"
+        )
+      shape = tuple(v.shape)
+      if len(shape) > 0 and shape[0] == -1:
+        if a.shape[1:] != shape[1:]:
+          raise RuntimeError(
+            f"Expected shape {shape} with action \"{k}\", got {a.shape}"
+          )
+      else:
+        if len(a.shape) == 0 or a.shape[1:] != shape:
+          raise RuntimeError(
+            f"Expected shape {('num_env', *shape)} with action \"{k}\", "
+            f"got {a.shape}"
+          )
+
+  def _from(
+    self,
+    action: Union[Dict[str, Any], np.ndarray],
+    env_id: Optional[np.ndarray] = None,
+  ) -> List[np.ndarray]:
+    """Flatten/complete an action into the ordered action-key list."""
+    if isinstance(action, dict):
+      paths, values, _ = optree.tree_flatten_with_path(action)
+      adict = {".".join(p): v for p, v in zip(paths, values)}
+    else:
+      if not hasattr(self, "_last_action_type"):
+        self._last_action_type = self._spec._action_spec[-1].dtype
+      if not hasattr(self, "_last_action_name"):
+        self._last_action_name = self._spec._action_keys[-1]
+      if isinstance(action, np.ndarray):
+        action = action.astype(self._last_action_type, order="C")
+      adict = {self._last_action_name: action}
+    if env_id is None:
+      if "env_id" not in adict:
+        adict["env_id"] = self.all_env_ids
+    else:
+      adict["env_id"] = np.asarray(env_id).astype(np.int32)
+    if "players.env_id" not in adict:
+      adict["players.env_id"] = adict["env_id"]
+    if not hasattr(self, "_action_names"):
+      self._action_names = self._spec._action_keys
+    return list(map(lambda k: adict[k], self._action_names))
+
+  def __len__(self) -> int:
+    """Return the number of environments."""
+    return self.config["num_envs"]
+
+  @property
+  def all_env_ids(self) -> np.ndarray:
+    if not hasattr(self, "_all_env_ids"):
+      self._all_env_ids = np.arange(
+        self.config["num_envs"], dtype=np.int32
+      )
+    return self._all_env_ids
+
+  @property
+  def is_async(self) -> bool:
+    return self.config["batch_size"] > 0 and (
+      self.config["num_envs"] != self.config["batch_size"]
+    )
+
+  def seed(self, seed: Optional[Union[int, List[int]]] = None) -> None:
+    """Abandoned, kept for API compatibility."""
+    warnings.warn(
+      "The `seed` function in envpool is abandoned. "
+      "You can set seed by make(..., seed=seed) instead.",
+      stacklevel=2,
+    )
+
+  def send(
+    self,
+    action: Union[Dict[str, Any], np.ndarray],
+    env_id: Optional[np.ndarray] = None,
+  ) -> None:
+    """Send a batch of actions; returns immediately (device steps async)."""
+    action = self._from(action, env_id)
+    self._check_action(action)
+    self._send(action)
+
+  def recv(
+    self,
+    reset: bool = False,
+    return_info: bool = True,
+  ) -> Any:
+    """Receive the oldest finished batch, converted to this dialect."""
+    state_list = self._recv()
+    return self._to(state_list, reset, return_info)
+
+  def async_reset(self) -> None:
+    """Async-mode entry: enqueue a reset for every env."""
+    self._reset(self.all_env_ids)
+
+  def step(
+    self,
+    action: Union[Dict[str, Any], np.ndarray],
+    env_id: Optional[np.ndarray] = None,
+  ) -> Any:
+    """Synchronous step: send then recv."""
+    self.send(action, env_id)
+    return self.recv(reset=False, return_info=True)
+
+  def reset(self, env_id: Optional[np.ndarray] = None) -> Any:
+    """Reset env_id (all by default) and return their first timestep."""
+    if env_id is None:
+      env_id = self.all_env_ids
+    self._reset(env_id)
+    return self.recv(
+      reset=True, return_info=self.config["gym_reset_return_info"]
+    )
+
+  def __repr__(self) -> str:
+    config = self.config
+    config_str = ", ".join(
+      f"{k}={pprint.pformat(v)}" for k, v in config.items()
+    )
+    return f"{self.__class__.__name__}({config_str})"
+
+  def __str__(self) -> str:
+    return self.__repr__()
+
+
+class DMEnvPool(TpuEnvPool, EnvPoolMixin):
+  """dm_env dialect."""
+
+  def __init__(self, spec: EnvSpec) -> None:
+    super().__init__(spec)
+    _, self._dm_state_idx, self._dm_treespec = dm_structure(
+      "State", spec._state_keys
+    )
+
+  def observation_spec(self) -> Tuple:
+    if not hasattr(self, "_dm_observation_spec"):
+      self._dm_observation_spec = self.spec.observation_spec()
+    return self._dm_observation_spec
+
+  def action_spec(self) -> Any:
+    if not hasattr(self, "_dm_action_spec"):
+      self._dm_action_spec = self.spec.action_spec()
+    return self._dm_action_spec
+
+  def _to(
+    self, state_values: List[np.ndarray], reset: bool, return_info: bool
+  ) -> Any:
+    from dm_env import TimeStep
+    values = (state_values[i] for i in self._dm_state_idx)
+    state = optree.tree_unflatten(self._dm_treespec, values)
+    return TimeStep(
+      step_type=state.step_type,
+      observation=state.State,
+      reward=state.reward,
+      discount=state.discount,
+    )
+
+
+class GymnasiumEnvPool(TpuEnvPool, EnvPoolMixin):
+  """gymnasium dialect: 5-tuple step, (obs, info) reset."""
+
+  def __init__(self, spec: EnvSpec) -> None:
+    super().__init__(spec)
+    _, self._state_idx, self._treespec = gymnasium_structure(
+      spec._state_keys
+    )
+
+  @property
+  def observation_space(self) -> Any:
+    if not hasattr(self, "_gym_observation_space"):
+      self._gym_observation_space = self.spec.gymnasium_observation_space
+    return self._gym_observation_space
+
+  @property
+  def action_space(self) -> Any:
+    if not hasattr(self, "_gym_action_space"):
+      self._gym_action_space = self.spec.gymnasium_action_space
+    return self._gym_action_space
+
+  def _to(
+    self, state_values: List[np.ndarray], reset: bool, return_info: bool
+  ) -> Any:
+    values = (state_values[i] for i in self._state_idx)
+    state = optree.tree_unflatten(self._treespec, values)
+    info = state["info"]
+    info["elapsed_step"] = state["elapsed_step"]
+    if reset:
+      return state["obs"], info
+    terminated = state["done"] & ~state["trunc"]
+    return state["obs"], state["reward"], terminated, state["trunc"], info
+
+
+class GymEnvPool(TpuEnvPool, EnvPoolMixin):
+  """Legacy-gym dialect (gym is an optional dependency)."""
+
+  def __init__(self, spec: EnvSpec) -> None:
+    super().__init__(spec)
+    _, self._state_idx, self._treespec = gym_structure(spec._state_keys)
+    try:
+      import gym
+      from packaging import version
+      self._new_gym_api = version.parse(
+        gym.__version__
+      ) >= version.parse("0.26.0")
+    except ImportError:
+      # behave like modern gym for tuple shapes; spaces will raise if used
+      self._new_gym_api = True
+
+  @property
+  def observation_space(self) -> Any:
+    if not hasattr(self, "_gym_observation_space"):
+      self._gym_observation_space = self.spec.observation_space
+    return self._gym_observation_space
+
+  @property
+  def action_space(self) -> Any:
+    if not hasattr(self, "_gym_action_space"):
+      self._gym_action_space = self.spec.action_space
+    return self._gym_action_space
+
+  def _to(
+    self, state_values: List[np.ndarray], reset: bool, return_info: bool
+  ) -> Any:
+    values = (state_values[i] for i in self._state_idx)
+    state = optree.tree_unflatten(self._treespec, values)
+    if reset and not (return_info or self._new_gym_api):
+      return state["obs"]
+    info = state["info"]
+    if not self._new_gym_api:
+      info["TimeLimit.truncated"] = state["trunc"]
+    info["elapsed_step"] = state["elapsed_step"]
+    if reset:
+      return state["obs"], info
+    if self._new_gym_api:
+      terminated = state["done"] & ~state["trunc"]
+      return state["obs"], state["reward"], terminated, state["trunc"], info
+    return state["obs"], state["reward"], state["done"], info
+
+
+def py_env(
+  env_cls: Type[FuncEnv],
+) -> Tuple[Type[EnvSpec], Type[DMEnvPool], Type[GymEnvPool],
+           Type[GymnasiumEnvPool]]:
+  """Synthesize (Spec, DMEnvPool, GymEnvPool, GymnasiumEnvPool) classes.
+
+  Counterpart of ``envpool/python/api.py:25-52`` — class names follow the
+  same ``{Family}{Dialect}EnvPool`` convention so downstream code is
+  drop-in compatible.
+  """
+  name = env_cls.name
+  spec_cls = make_spec_cls(env_cls)
+  dm_cls = type(f"{name}DMEnvPool", (DMEnvPool,), {})
+  gym_cls = type(f"{name}GymEnvPool", (GymEnvPool,), {})
+  gymnasium_cls = type(f"{name}GymnasiumEnvPool", (GymnasiumEnvPool,), {})
+  return spec_cls, dm_cls, gym_cls, gymnasium_cls

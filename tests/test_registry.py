@@ -1,0 +1,28 @@
+"""Registry smoke test: make every registered task in all dialects.
+
+Mirrors ``envpool/make_test.py:27-80``.
+"""
+
+import numpy as np
+import pytest
+
+import envpool_tpu
+
+
+@pytest.mark.parametrize("task_id", envpool_tpu.list_all_envs())
+def test_make_all_dialects(task_id: str) -> None:
+  for maker in (
+    envpool_tpu.make_gymnasium,
+    envpool_tpu.make_dm,
+  ):
+    env = maker(task_id, num_envs=2, seed=0)
+    out = env.reset()
+    assert out is not None
+
+
+@pytest.mark.parametrize("task_id", envpool_tpu.list_all_envs())
+def test_spec_roundtrip(task_id: str) -> None:
+  spec = envpool_tpu.make_spec(task_id, num_envs=3)
+  assert spec.config.num_envs == 3
+  assert len(spec._state_keys) == len(spec._state_spec)
+  assert len(spec._action_keys) == len(spec._action_spec)
