@@ -82,6 +82,17 @@ class FuncEnv:
   #: capitalized family name used to synthesize class names, e.g. "CartPole"
   name: str = "Func"
 
+  #: env-side auto-reset ("reset-into-terminal-obs"). When True, ``step``
+  #: returns ``(state, obs, reward, done, trunc, info)`` where, on a terminal
+  #: transition, ``state``/``obs`` are ALREADY the next episode's initial
+  #: state/obs and ``done``/``trunc`` are computed by the env itself. The pool
+  #: then never schedules a pool-level auto-reset and the elapsed_step counter
+  #: keeps running across episodes — reproducing the reference Sokoban
+  #: semantics where ``WriteState`` resets the world before writing the
+  #: terminal observation (``envpool/sokoban/sokoban_envpool.cc:198-202``)
+  #: so ``IsDone()`` is already false at the next scheduled step.
+  env_resets: bool = False
+
   @staticmethod
   def default_config() -> Dict[str, Any]:
     return {}

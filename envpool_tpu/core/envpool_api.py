@@ -159,11 +159,10 @@ class EnvPoolMixin:
     return self.__repr__()
 
 
-class DMEnvPool(TpuEnvPool, EnvPoolMixin):
-  """dm_env dialect."""
+class DMConvertMixin:
+  """dm_env output conversion, engine-agnostic (works over any pool base)."""
 
-  def __init__(self, spec: EnvSpec) -> None:
-    super().__init__(spec)
+  def _init_dialect(self, spec: EnvSpec) -> None:
     _, self._dm_state_idx, self._dm_treespec = dm_structure(
       "State", spec._state_keys
     )
@@ -192,11 +191,10 @@ class DMEnvPool(TpuEnvPool, EnvPoolMixin):
     )
 
 
-class GymnasiumEnvPool(TpuEnvPool, EnvPoolMixin):
-  """gymnasium dialect: 5-tuple step, (obs, info) reset."""
+class GymnasiumConvertMixin:
+  """gymnasium 5-tuple conversion (``gymnasium_envpool.py:74-90``)."""
 
-  def __init__(self, spec: EnvSpec) -> None:
-    super().__init__(spec)
+  def _init_dialect(self, spec: EnvSpec) -> None:
     _, self._state_idx, self._treespec = gymnasium_structure(
       spec._state_keys
     )
@@ -226,11 +224,10 @@ class GymnasiumEnvPool(TpuEnvPool, EnvPoolMixin):
     return state["obs"], state["reward"], terminated, state["trunc"], info
 
 
-class GymEnvPool(TpuEnvPool, EnvPoolMixin):
-  """Legacy-gym dialect (gym is an optional dependency)."""
+class GymConvertMixin:
+  """Legacy-gym conversion incl. pre-0.26 quirks (``gym_envpool.py:75-97``)."""
 
-  def __init__(self, spec: EnvSpec) -> None:
-    super().__init__(spec)
+  def _init_dialect(self, spec: EnvSpec) -> None:
     _, self._state_idx, self._treespec = gym_structure(spec._state_keys)
     try:
       import gym
@@ -273,19 +270,42 @@ class GymEnvPool(TpuEnvPool, EnvPoolMixin):
     return state["obs"], state["reward"], state["done"], info
 
 
+def _dialect_class(name: str, mixin: type, base_pool: type) -> type:
+  """Build one concrete dialect class over a pool engine base."""
+
+  def __init__(self, spec: EnvSpec) -> None:  # noqa: N807
+    base_pool.__init__(self, spec)
+    self._init_dialect(spec)
+
+  return type(
+    name, (base_pool, mixin, EnvPoolMixin), {"__init__": __init__}
+  )
+
+
+# default (TPU-engine) dialect classes
+DMEnvPool = _dialect_class("DMEnvPool", DMConvertMixin, TpuEnvPool)
+GymnasiumEnvPool = _dialect_class(
+  "GymnasiumEnvPool", GymnasiumConvertMixin, TpuEnvPool
+)
+GymEnvPool = _dialect_class("GymEnvPool", GymConvertMixin, TpuEnvPool)
+
+
 def py_env(
   env_cls: Type[FuncEnv],
-) -> Tuple[Type[EnvSpec], Type[DMEnvPool], Type[GymEnvPool],
-           Type[GymnasiumEnvPool]]:
+  pool_base: type = TpuEnvPool,
+) -> Tuple[Type[EnvSpec], type, type, type]:
   """Synthesize (Spec, DMEnvPool, GymEnvPool, GymnasiumEnvPool) classes.
 
   Counterpart of ``envpool/python/api.py:25-52`` — class names follow the
   same ``{Family}{Dialect}EnvPool`` convention so downstream code is
-  drop-in compatible.
+  drop-in compatible. ``pool_base`` selects the engine (TpuEnvPool for
+  on-device families, HostEnvPool for host-native emulator families).
   """
   name = env_cls.name
   spec_cls = make_spec_cls(env_cls)
-  dm_cls = type(f"{name}DMEnvPool", (DMEnvPool,), {})
-  gym_cls = type(f"{name}GymEnvPool", (GymEnvPool,), {})
-  gymnasium_cls = type(f"{name}GymnasiumEnvPool", (GymnasiumEnvPool,), {})
+  dm_cls = _dialect_class(f"{name}DMEnvPool", DMConvertMixin, pool_base)
+  gym_cls = _dialect_class(f"{name}GymEnvPool", GymConvertMixin, pool_base)
+  gymnasium_cls = _dialect_class(
+    f"{name}GymnasiumEnvPool", GymnasiumConvertMixin, pool_base
+  )
   return spec_cls, dm_cls, gym_cls, gymnasium_cls

@@ -146,6 +146,8 @@ class TpuEnvPool:
         return action_full[self._env_action_keys[0]]
       return action_full
 
+    env_resets = bool(getattr(env_cls, "env_resets", False))
+
     def advance(
       ps: PoolState,
       action_full: Dict[str, jax.Array],
@@ -157,21 +159,44 @@ class TpuEnvPool:
         jnp.ones(n, jnp.bool_) if force_reset else ps.done
       )
       rs_env, rs_obs, rs_info = reset_v(ps.env, sub)
-      st_env, st_obs, st_rew, st_term, st_info = step_v(
-        ps.env, _unpack_action(action_full), sub
-      )
-      env2 = _select(need_reset, rs_env, st_env)
-      obs = _select(need_reset, rs_obs, st_obs)
-      info = _select(need_reset, rs_info, st_info)
-      elapsed = jnp.where(need_reset, 0, ps.elapsed + 1)
-      cap = cap_v(env2)
-      term = jnp.where(need_reset, False, st_term.astype(jnp.bool_))
-      done = jnp.where(need_reset, False, term | (elapsed >= cap))
-      trunc = done & (elapsed >= cap)
-      reward = jnp.where(need_reset, 0.0, st_rew).astype(jnp.float32)
-      step_type = jnp.where(
-        need_reset, 0, jnp.where(done, 2, 1)
-      ).astype(jnp.int32)
+      if env_resets:
+        # env-side auto-reset: step already returns done/trunc and the
+        # post-internal-reset state/obs on terminal transitions.
+        st_env, st_obs, st_rew, st_done, st_trunc, st_info = step_v(
+          ps.env, _unpack_action(action_full), sub
+        )
+        env2 = _select(need_reset, rs_env, st_env)
+        obs = _select(need_reset, rs_obs, st_obs)
+        info = _select(need_reset, rs_info, st_info)
+        elapsed = jnp.where(need_reset, 0, ps.elapsed + 1)
+        done = jnp.where(need_reset, False, st_done.astype(jnp.bool_))
+        trunc = jnp.where(need_reset, False, st_trunc.astype(jnp.bool_))
+        reward = jnp.where(need_reset, 0.0, st_rew).astype(jnp.float32)
+        # FIRST only right after an explicit reset; terminal steps are LAST
+        # but the env has already moved on (envpool/core/env.h:205-210 with
+        # IsDone() false post-WriteState-reset).
+        step_type = jnp.where(
+          elapsed == 0, 0, jnp.where(done, 2, 1)
+        ).astype(jnp.int32)
+        # the carried done flag never triggers a pool auto-reset
+        done_carry = jnp.zeros(n, jnp.bool_)
+      else:
+        st_env, st_obs, st_rew, st_term, st_info = step_v(
+          ps.env, _unpack_action(action_full), sub
+        )
+        env2 = _select(need_reset, rs_env, st_env)
+        obs = _select(need_reset, rs_obs, st_obs)
+        info = _select(need_reset, rs_info, st_info)
+        elapsed = jnp.where(need_reset, 0, ps.elapsed + 1)
+        cap = cap_v(env2)
+        term = jnp.where(need_reset, False, st_term.astype(jnp.bool_))
+        done = jnp.where(need_reset, False, term | (elapsed >= cap))
+        trunc = done & (elapsed >= cap)
+        reward = jnp.where(need_reset, 0.0, st_rew).astype(jnp.float32)
+        step_type = jnp.where(
+          need_reset, 0, jnp.where(done, 2, 1)
+        ).astype(jnp.int32)
+        done_carry = done
       discount = (~done).astype(jnp.float32)
 
       if mask is not None:
@@ -179,9 +204,9 @@ class TpuEnvPool:
         obs = _select(mask, obs, obs)  # gathered below; full value fine
         rng = jnp.where(mask[:, None], rng, ps.rng)
         elapsed2 = jnp.where(mask, elapsed, ps.elapsed)
-        done2 = jnp.where(mask, done, ps.done)
+        done2 = jnp.where(mask, done_carry, ps.done)
       else:
-        elapsed2, done2 = elapsed, done
+        elapsed2, done2 = elapsed, done_carry
       new_ps = PoolState(env=env2, rng=rng, elapsed=elapsed2, done=done2)
 
       out: Dict[str, jax.Array] = {

@@ -6,6 +6,11 @@ family of the fork) is imported unconditionally.
 """
 
 try:
+  import envpool_tpu.envs.dummy.registration  # noqa: F401
+except ImportError:
+  pass
+
+try:
   import envpool_tpu.envs.classic_control.registration  # noqa: F401
 except ImportError:
   pass

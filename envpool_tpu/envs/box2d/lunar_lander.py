@@ -1,0 +1,363 @@
+"""LunarLander (discrete + continuous) — JAX rigid-body rewrite.
+
+Parity target: ``envpool/box2d/lunar_lander_env.cc`` (itself gym 0.23.1's
+lunar_lander.py). The reference wraps the full Box2D solver; a
+sequential-impulse solver is not XLA-friendly, so this is a from-scratch
+vectorized rigid-body model reproducing the env's *behavioral* contract
+(SURVEY §7.7: behavioral/distributional parity, not bit-parity):
+
+- same world constants: gravity -10, FPS 50, SCALE 30, engine powers,
+  dispersion noise, initial force uniform(-1000, 1000) on the body center
+  (``lunar_lander_env.cc:52-58, 140-145, 225-280``);
+- same terrain construction: 11 chunks, smoothed heights, flat helipad
+  across the middle 5 knots (:81-97);
+- same obs layout/scaling and shaping reward, including the -0.3/-0.03
+  engine cost, -100 crash, +100 rest (:283-320);
+- simplification: the lander + both legs are ONE compound rigid body (the
+  reference's leg revolute joints mostly set a static pose); contacts are
+  resolved by projected impulses of the compound's hull points against the
+  piecewise-linear terrain with restitution 0 / friction 0.1; exhaust
+  particles are not simulated (in the reference they are collision-masked
+  off the lander — only the reaction impulse matters, which IS applied).
+
+The whole env is ~40 fused elementwise ops per step — on TPU, thousands of
+landers integrate in lockstep with zero host traffic.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from envpool_tpu.core.env import FuncEnv
+from envpool_tpu.core.spec import ArraySpec
+
+FPS = 50.0
+DT = 1.0 / FPS
+SCALE = 30.0
+MAIN_ENGINE_POWER = 13.0
+SIDE_ENGINE_POWER = 0.6
+INITIAL_RANDOM = 1000.0
+LEG_AWAY = 20.0 / SCALE
+LEG_DOWN = 18.0 / SCALE
+LEG_W = 2.0 / SCALE
+LEG_H = 8.0 / SCALE
+SIDE_ENGINE_HEIGHT = 14.0 / SCALE
+SIDE_ENGINE_AWAY = 12.0 / SCALE
+VIEWPORT_W = 600.0 / SCALE  # 20
+VIEWPORT_H = 400.0 / SCALE  # 13.33
+CHUNKS = 11
+HELIPAD_Y = VIEWPORT_H / 4
+GRAVITY = -10.0
+
+# lander hull polygon in body frame (lunar_lander_env.h:38-39), /SCALE
+_LANDER_POLY = np.asarray(
+  [[-14, 17], [-17, 0], [-17, -10], [17, -10], [17, 0], [14, 17]],
+  dtype=np.float64,
+) / SCALE
+
+# contact points of the compound body: hull vertices + leg bottom corners.
+# legs sit at (+-LEG_AWAY, -LEG_DOWN) relative to the body center with a
+# +-0.05 rad splay; their bottom face spans +-LEG_W around the anchor and
+# LEG_H below it.
+_LEG_TIPS = np.asarray(
+  [
+    [-LEG_AWAY - LEG_W, -LEG_DOWN - LEG_H],
+    [-LEG_AWAY + LEG_W, -LEG_DOWN - LEG_H],
+    [LEG_AWAY - LEG_W, -LEG_DOWN - LEG_H],
+    [LEG_AWAY + LEG_W, -LEG_DOWN - LEG_H],
+  ],
+  dtype=np.float64,
+)
+_CONTACT_PTS = np.concatenate([_LANDER_POLY, _LEG_TIPS])  # [10, 2]
+_IS_LEG_PT = np.asarray([0] * 6 + [1, 1, 2, 2], dtype=np.int32)
+
+# mass properties (box2d: density x area; hull density 5, legs 1)
+
+
+def _poly_mass(poly: np.ndarray, density: float) -> Tuple[float, float, np.ndarray]:
+  """(mass, inertia about centroid, centroid) of a convex polygon."""
+  area = 0.0
+  cx = cy = 0.0
+  inertia = 0.0
+  n = len(poly)
+  for i in range(n):
+    x0, y0 = poly[i]
+    x1, y1 = poly[(i + 1) % n]
+    cross = x0 * y1 - x1 * y0
+    area += cross / 2
+    cx += (x0 + x1) * cross / 6
+    cy += (y0 + y1) * cross / 6
+    inertia += cross * (
+      x0 * x0 + x0 * x1 + x1 * x1 + y0 * y0 + y0 * y1 + y1 * y1
+    ) / 12
+  cx, cy = cx / area, cy / area
+  mass = density * area
+  inertia = density * inertia - mass * (cx * cx + cy * cy)
+  return mass, inertia, np.asarray([cx, cy])
+
+
+_HULL_M, _HULL_I, _HULL_C = _poly_mass(_LANDER_POLY, 5.0)
+_LEG_M = 1.0 * (2 * LEG_W) * (2 * LEG_H)
+_LEG_I = _LEG_M * ((2 * LEG_W) ** 2 + (2 * LEG_H) ** 2) / 12
+_LEG_CS = np.asarray([[-LEG_AWAY, -LEG_DOWN], [LEG_AWAY, -LEG_DOWN]])
+TOTAL_MASS = _HULL_M + 2 * _LEG_M
+_COM = (
+  _HULL_M * _HULL_C + _LEG_M * _LEG_CS[0] + _LEG_M * _LEG_CS[1]
+) / TOTAL_MASS
+TOTAL_I = (
+  _HULL_I + _HULL_M * np.sum((_HULL_C - _COM) ** 2)
+  + sum(_LEG_I + _LEG_M * np.sum((c - _COM) ** 2) for c in _LEG_CS)
+)
+
+# box2d sleep thresholds (b2_linearSleepTolerance etc.)
+_SLEEP_LIN = 0.01
+_SLEEP_ANG = 2.0 / 180.0 * math.pi
+_TIME_TO_SLEEP = 0.5
+_SUBSTEPS = 4
+_FRICTION = 0.1
+
+
+def _terrain(key: jax.Array) -> Tuple[jax.Array, jax.Array]:
+  """Sample terrain knots -> (chunk_x [11], smooth_y [11])."""
+  height = jax.random.uniform(
+    key, (CHUNKS + 1,), jnp.float32, 0.0, VIEWPORT_H / 2
+  )
+  mid = jnp.arange(CHUNKS + 1)
+  flat = (mid >= CHUNKS // 2 - 2) & (mid <= CHUNKS // 2 + 2)
+  height = jnp.where(flat, HELIPAD_Y, height)
+  idx = jnp.arange(CHUNKS)
+  chunk_x = VIEWPORT_W / (CHUNKS - 1) * idx
+  prev = jnp.where(idx == 0, height[CHUNKS], height[jnp.maximum(idx - 1, 0)])
+  smooth_y = (prev + height[idx] + height[idx + 1]) / 3
+  return chunk_x.astype(jnp.float32), smooth_y.astype(jnp.float32)
+
+
+def _ground_height(smooth_y: jax.Array, x: jax.Array) -> jax.Array:
+  """Piecewise-linear terrain height at x (chunks are evenly spaced)."""
+  dx = VIEWPORT_W / (CHUNKS - 1)
+  f = jnp.clip(x / dx, 0.0, CHUNKS - 1 - 1e-6)
+  i = jnp.floor(f).astype(jnp.int32)
+  t = f - i
+  return smooth_y[i] * (1 - t) + smooth_y[jnp.minimum(i + 1, CHUNKS - 1)] * t
+
+
+class LunarLanderEnv(FuncEnv):
+  """LunarLander-v2 (discrete)."""
+
+  name = "LunarLander"
+  continuous = False
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {"reward_threshold": 200.0}
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"obs": ArraySpec(np.float32, (8,), -10.0, 10.0)}
+
+  @classmethod
+  def action_spec(cls, cfg: Any) -> Dict[str, ArraySpec]:
+    if cls.continuous:
+      return {"action": ArraySpec(np.float32, (-1, 2), -1.0, 1.0)}
+    return {"action": ArraySpec(np.int32, (-1,), 0, 3)}
+
+  @classmethod
+  def reset(cls, cfg: Any, state: Any, key: jax.Array) -> Tuple[Any, Any, Dict]:
+    del state
+    kt, kf, kstep = jax.random.split(key, 3)
+    chunk_x, smooth_y = _terrain(kt)
+    force = jax.random.uniform(
+      kf, (2,), jnp.float32, -INITIAL_RANDOM, INITIAL_RANDOM
+    )
+    st = {
+      "smooth_y": smooth_y,
+      "pos": jnp.asarray([VIEWPORT_W / 2, VIEWPORT_H], jnp.float32),
+      "vel": force * (DT / TOTAL_MASS),  # ApplyForceToCenter for one step
+      "angle": jnp.float32(0.0),
+      "omega": jnp.float32(0.0),
+      "ground_contact": jnp.zeros(2, jnp.float32),
+      "crashed": jnp.bool_(False),
+      "sleep_time": jnp.float32(0.0),
+      "prev_shaping": jnp.float32(0.0),
+      "first": jnp.bool_(True),
+    }
+    # the reference's Reset runs one zero-action step to produce obs
+    # (lunar_lander_env.cc:313-317)
+    zero = (
+      jnp.zeros(2, jnp.float32) if cls.continuous else jnp.int32(0)
+    )
+    st, obs, _, _, _ = cls._physics_step(cfg, st, zero, kstep)
+    return st, obs, {}
+
+  @classmethod
+  def step(
+    cls, cfg: Any, state: Any, action: jax.Array, key: jax.Array
+  ) -> Tuple[Any, Any, jax.Array, jax.Array, Dict]:
+    st, obs, reward, term, info = cls._physics_step(cfg, state, action, key)
+    return st, obs, reward, term, info
+
+  # ------------------------------------------------------------------ core
+
+  @classmethod
+  def _physics_step(
+    cls, cfg: Any, st: Any, action: jax.Array, key: jax.Array
+  ) -> Tuple[Any, Any, jax.Array, jax.Array, Dict]:
+    kd = jax.random.split(key, 1)[0]
+    dispersion = jax.random.uniform(kd, (2,), jnp.float32, -1.0, 1.0) / SCALE
+
+    angle = st["angle"]
+    tip = jnp.stack([jnp.sin(angle), jnp.cos(angle)])
+    side = jnp.stack([-tip[1], tip[0]])
+
+    if cls.continuous:
+      a = jnp.clip(action.reshape(2), -1.0, 1.0)
+      main_on = a[0] > 0.0
+      m_power = jnp.where(
+        main_on, (jnp.clip(a[0], 0.0, 1.0) + 1.0) * 0.5, 0.0
+      )
+      side_on = jnp.abs(a[1]) > 0.5
+      direction = jnp.sign(a[1])
+      s_power = jnp.where(side_on, jnp.clip(jnp.abs(a[1]), 0.5, 1.0), 0.0)
+    else:
+      a = action.reshape(()).astype(jnp.int32)
+      main_on = a == 2
+      m_power = jnp.where(main_on, 1.0, 0.0)
+      side_on = (a == 1) | (a == 3)
+      direction = (a - 2).astype(jnp.float32)
+      s_power = jnp.where(side_on, 1.0, 0.0)
+
+    # main engine impulse (reaction on the lander only; the particle gets
+    # the forward impulse, lunar_lander_env.cc:236-250)
+    tmp = 4.0 / SCALE + 2.0 * dispersion[0]
+    ox_m = tip[0] * tmp + side[0] * dispersion[1]
+    oy_m = -tip[1] * tmp - side[1] * dispersion[1]
+    imp_main = -jnp.stack([ox_m, oy_m]) * MAIN_ENGINE_POWER * m_power
+    pos_main = jnp.stack([ox_m, oy_m])  # impulse pos relative to body center
+
+    # side engine
+    tmp_s = 3.0 * dispersion[1] + direction * SIDE_ENGINE_AWAY
+    ox_s = tip[0] * dispersion[0] + side[0] * tmp_s
+    oy_s = -tip[1] * dispersion[0] - side[1] * tmp_s
+    imp_side = -jnp.stack([ox_s, oy_s]) * SIDE_ENGINE_POWER * s_power
+    pos_side = jnp.stack(
+      [ox_s - tip[0] * 17.0 / SCALE, oy_s + tip[1] * SIDE_ENGINE_HEIGHT]
+    )
+
+    vel = st["vel"]
+    omega = st["omega"]
+    # linear + angular impulse application (J = r x P)
+    vel = vel + (imp_main + imp_side) / TOTAL_MASS
+    omega = omega + (
+      pos_main[0] * imp_main[1] - pos_main[1] * imp_main[0]
+      + pos_side[0] * imp_side[1] - pos_side[1] * imp_side[0]
+    ) / TOTAL_I
+
+    pos = st["pos"]
+    smooth_y = st["smooth_y"]
+    crashed = st["crashed"]
+    leg_contact = jnp.zeros(2, jnp.bool_)
+
+    pts = jnp.asarray(_CONTACT_PTS, jnp.float32)
+    is_leg = jnp.asarray(_IS_LEG_PT)
+
+    sub_dt = DT / _SUBSTEPS
+    for _ in range(_SUBSTEPS):
+      vel = vel + jnp.asarray([0.0, GRAVITY]) * sub_dt
+      pos = pos + vel * sub_dt
+      angle = angle + omega * sub_dt
+      # world-frame contact points
+      c, s = jnp.cos(angle), jnp.sin(angle)
+      rot = jnp.asarray([[c, -s], [s, c]])
+      wpts = pos[None, :] + pts @ rot.T
+      gy = jax.vmap(lambda x: _ground_height(smooth_y, x))(wpts[:, 0])
+      pen = gy - wpts[:, 1]
+      touching = pen > 0.0
+      # contact impulses: kill downward normal velocity at touching points
+      r = wpts - pos[None, :]
+      vpt_y = vel[1] + omega * r[:, 0]
+      vpt_x = vel[0] - omega * r[:, 1]
+      # normal impulse (vertical ground normal approximation)
+      denom_n = 1.0 / TOTAL_MASS + r[:, 0] ** 2 / TOTAL_I
+      jn = jnp.where(touching & (vpt_y < 0), -vpt_y / denom_n, 0.0)
+      # friction impulse limited by mu * jn
+      denom_t = 1.0 / TOTAL_MASS + r[:, 1] ** 2 / TOTAL_I
+      jt = jnp.clip(
+        -vpt_x / denom_t, -_FRICTION * jn, _FRICTION * jn
+      )
+      vel = vel + jnp.stack(
+        [jnp.sum(jt), jnp.sum(jn)]
+      ) / TOTAL_MASS
+      omega = omega + jnp.sum(r[:, 0] * jn - r[:, 1] * jt) / TOTAL_I
+      # positional correction (Baumgarte-style) to resolve penetration
+      max_pen = jnp.max(jnp.where(touching, pen, 0.0))
+      pos = pos + jnp.asarray([0.0, 1.0]) * max_pen * 0.5
+      # contact bookkeeping
+      hull_touch = jnp.any(touching & (is_leg == 0))
+      crashed = crashed | hull_touch
+      leg_contact = leg_contact | jnp.stack(
+        [jnp.any(touching & (is_leg == 1)), jnp.any(touching & (is_leg == 2))]
+      )
+
+    ground_contact = leg_contact.astype(jnp.float32)
+
+    # sleep detection (box2d b2Island::Solve sleep logic)
+    slow = (
+      (jnp.sum(vel * vel) < _SLEEP_LIN ** 2)
+      & (jnp.abs(omega) < _SLEEP_ANG)
+    )
+    sleep_time = jnp.where(slow, st["sleep_time"] + DT, 0.0)
+    asleep = sleep_time >= _TIME_TO_SLEEP
+
+    obs = jnp.stack([
+      (pos[0] - VIEWPORT_W / 2) / (VIEWPORT_W / 2),
+      (pos[1] - HELIPAD_Y - LEG_DOWN) / (VIEWPORT_H / 2),
+      vel[0] * (VIEWPORT_W / 2) / FPS,
+      vel[1] * (VIEWPORT_H / 2) / FPS,
+      angle,
+      omega * 20.0 / FPS,
+      ground_contact[0],
+      ground_contact[1],
+    ]).astype(jnp.float32)
+
+    shaping = (
+      -100.0 * (
+        jnp.sqrt(obs[0] ** 2 + obs[1] ** 2)
+        + jnp.sqrt(obs[2] ** 2 + obs[3] ** 2)
+        + jnp.abs(obs[4])
+      )
+      + 10.0 * (obs[6] + obs[7])
+    )
+    reward = jnp.where(st["first"], 0.0, shaping - st["prev_shaping"])
+    reward = reward - (m_power * 0.3 + s_power * 0.03)
+
+    out_of_x = jnp.abs(obs[0]) >= 1.0
+    term_crash = crashed | out_of_x
+    reward = jnp.where(term_crash, -100.0, reward)
+    reward = jnp.where(~term_crash & asleep, 100.0, reward)
+    term = term_crash | asleep
+
+    new_st = {
+      "smooth_y": smooth_y,
+      "pos": pos,
+      "vel": vel,
+      "angle": angle,
+      "omega": omega,
+      "ground_contact": ground_contact,
+      "crashed": crashed,
+      "sleep_time": sleep_time,
+      "prev_shaping": shaping,
+      "first": jnp.bool_(False),
+    }
+    return new_st, obs, reward.astype(jnp.float32), term, {}
+
+
+class LunarLanderContinuousEnv(LunarLanderEnv):
+  """LunarLanderContinuous-v2."""
+
+  name = "LunarLanderContinuous"
+  continuous = True

@@ -1,0 +1,83 @@
+"""Dummy env — the heavily-commented developer template.
+
+Counterpart of the reference's tutorial env
+(``envpool/dummy/dummy_envpool.h:25-222``): not a real task, but the
+smallest complete example of the environment-family contract, and a fixture
+for the engine's API tests. Where the reference template demonstrates C++
+virtual Reset/Step/IsDone plus state allocation, this one demonstrates the
+pure-functional TPU contract of ``FuncEnv``:
+
+  default_config() -> dict            env-specific config (merged with the
+                                      common num_envs/seed/... config)
+  state_spec(cfg)  -> {key: ArraySpec}  "obs"/"obs:x"/"info:x" keys
+  action_spec(cfg) -> {key: ArraySpec}
+  init(cfg, env_id, key) -> state     pre-first-reset state pytree
+  reset(cfg, state, key) -> (state, obs, info)
+  step(cfg, state, action, key) -> (state, obs, reward, term, info)
+
+All functions are traced once and batched with vmap under jit: they see ONE
+env's state (no batch dimension) and must be shape-static and functional.
+
+Behavior (mirrors the observable behavior of the reference dummy): the env
+counts steps; ``obs:raw`` is ``[state, action_taken]``; reward equals the
+env's last action; an episode terminates after ``state_num`` steps.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from envpool_tpu.core.env import FuncEnv
+from envpool_tpu.core.spec import ArraySpec
+
+
+class DummyEnv(FuncEnv):
+  """Tutorial/dev-template env family."""
+
+  name = "Dummy"
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    # counterpart of DummyEnvFns::DefaultConfig (dummy_envpool.h:48-50)
+    return {"state_num": 10, "action_num": 6}
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    # two obs fields and an info field, to exercise the dict-obs path
+    return {
+      "obs:raw": ArraySpec(np.int32, (2,)),
+      "obs:clock": ArraySpec(np.float32, ()),
+      "info:step_count": ArraySpec(np.int32, ()),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.int32, (-1,), 0, int(cfg.action_num) - 1)}
+
+  @staticmethod
+  def reset(cfg: Any, state: Any, key: jax.Array) -> Tuple[Any, Any, Dict]:
+    del state, key
+    st = {"count": jnp.int32(0), "last_action": jnp.int32(-1)}
+    return st, _obs(st), {"step_count": st["count"]}
+
+  @staticmethod
+  def step(
+    cfg: Any, state: Any, action: jax.Array, key: jax.Array
+  ) -> Tuple[Any, Any, jax.Array, jax.Array, Dict]:
+    del key
+    action = action.reshape(()).astype(jnp.int32)
+    st = {"count": state["count"] + 1, "last_action": action}
+    term = st["count"] >= jnp.int32(cfg.state_num)
+    reward = action.astype(jnp.float32)
+    return st, _obs(st), reward, term, {"step_count": st["count"]}
+
+
+def _obs(st: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+  return {
+    "raw": jnp.stack([st["count"], st["last_action"]]),
+    "clock": st["count"].astype(jnp.float32),
+  }

@@ -1,0 +1,316 @@
+"""Sokoban — the fork's flagship family, as a pure-functional TPU env.
+
+Parity targets (all in ``/root/reference/envpool/sokoban/``):
+- push/move arena logic, box matching, reward
+  (``sokoban_envpool.cc:85-167``): reward = reward_step +
+  reward_box * (prev_unmatched - unmatched) + reward_finished if solved.
+- negative action = noop with NaN reward that does not advance the
+  internal step counter (``sokoban_envpool.cc:87-95``).
+- per-episode step cap sampled uniform[min_episode_steps,
+  max_episode_steps] (``sokoban_envpool.cc:31-34``).
+- trunc: never truncated when solved; truncated when the cap ends an
+  unsolved episode (``sokoban_envpool.cc:175-183``).
+- reset-into-terminal-obs: on a terminal step the NEXT episode's level is
+  loaded before the observation is written, so the terminal obs/info
+  belong to the next episode (``sokoban_envpool.cc:198-202``) — expressed
+  here through ``FuncEnv.env_resets``.
+- obs = 3 x D x D uint8 RGB from the tiny-world palette
+  (``sokoban_envpool.cc:171-177``).
+- level streaming: sequential mode walks the concatenated (file-name
+  sorted) level stream at positions env_id + k * num_envs, restarting
+  after n_levels_to_load/num_envs levels per env
+  (``level_loader.cc:180-216``); random mode picks a uniform file then a
+  uniform level within it (the reference shuffles each file per env with
+  its mt19937 — distributionally equivalent, not bit-identical).
+
+TPU design: the whole level bank is a ``[n_levels, D, D]`` uint8 constant
+in HBM; reset is a single dynamic gather from it, the step is ~30 fused
+elementwise/scatter ops on a ``[num_envs, D, D]`` batch — no host traffic,
+no per-env threads.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from envpool_tpu.core.env import FuncEnv
+from envpool_tpu.core.spec import ArraySpec
+
+from .level_loader import (
+  BOX,
+  BOX_ON_TARGET,
+  EMPTY,
+  PLAYER,
+  PLAYER_ON_TARGET,
+  TARGET,
+  WALL,
+  LevelBank,
+  generate_bank,
+  load_bank,
+)
+
+# action codes (sokoban_envpool.h:31-35)
+ACT_PUSH_UP, ACT_PUSH_DOWN, ACT_PUSH_LEFT, ACT_PUSH_RIGHT = range(4)
+MAX_ACTION = ACT_PUSH_RIGHT
+
+# (dx, dy) per action, x = row, y = column (sokoban_envpool.cc:82-83)
+_CHANGE_COORDINATES = np.asarray(
+  [[0, -1], [0, 1], [-1, 0], [1, 0]], dtype=np.int32
+)
+
+# tiny-world RGB palette indexed by tile code (sokoban_envpool.cc:171-177)
+TINY_COLORS = np.asarray(
+  [
+    [0, 0, 0],        # WALL
+    [243, 248, 238],  # EMPTY
+    [254, 126, 125],  # TARGET
+    [254, 95, 56],    # BOX_ON_TARGET
+    [142, 121, 56],   # BOX
+    [160, 212, 56],   # PLAYER
+    [219, 212, 56],   # PLAYER_ON_TARGET
+  ],
+  dtype=np.uint8,
+)
+
+
+@functools.lru_cache(maxsize=32)
+def _bank_cached(
+  levels_dir: str, dim_room: int, n_levels_to_load: int, seed: int
+) -> LevelBank:
+  if levels_dir:
+    return load_bank(levels_dir, dim_room, -1)
+  # no levels_dir: deterministic procedurally-generated bank
+  n = n_levels_to_load if n_levels_to_load > 0 else 1024
+  return generate_bank(seed, n, dim_room=dim_room)
+
+
+def _get_bank(cfg: Any) -> LevelBank:
+  return _bank_cached(
+    str(cfg.levels_dir), int(cfg.dim_room),
+    int(cfg.n_levels_to_load), int(cfg.seed)
+  )
+
+
+class SokobanEnv(FuncEnv):
+  """Sokoban-v0."""
+
+  name = "Sokoban"
+  env_resets = True
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    # defaults of SokobanEnvFns::DefaultConfig (sokoban_envpool.h:40-48)
+    return {
+      "reward_finished": 10.0,
+      "reward_box": 1.0,
+      "reward_step": -0.1,
+      "dim_room": 10,
+      "levels_dir": "",
+      "verbose": 0,
+      "min_episode_steps": 0,
+      "load_sequentially": False,
+      "n_levels_to_load": -1,
+    }
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    d = int(cfg.dim_room)
+    return {
+      "obs": ArraySpec(np.uint8, (3, d, d)),
+      "info:level_file_idx": ArraySpec(np.int32, (-1,)),
+      "info:level_idx": ArraySpec(np.int32, (-1,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.int32, (-1,), 0, MAX_ACTION)}
+
+  # ----------------------------------------------------------------- helpers
+
+  @classmethod
+  def _load_level(
+    cls, cfg: Any, cursor: jax.Array, key: jax.Array
+  ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Pick the next level -> (world, file_idx, level_idx, new_cursor).
+
+    ``cursor`` is this env's flat-stream position (already includes env_id).
+    """
+    bank = _get_bank(cfg)
+    levels = jnp.asarray(bank.levels)
+    file_idx_arr = jnp.asarray(bank.file_idx)
+    level_idx_arr = jnp.asarray(bank.level_idx)
+    n = bank.n_levels
+    if bool(cfg.load_sequentially):
+      n_load = int(cfg.n_levels_to_load)
+      n_eff = n_load if 0 < n_load <= n else n
+      flat = jnp.mod(cursor, n_eff)
+      new_cursor = cursor + jnp.int32(cfg.num_envs)
+    else:
+      kf, kl = jax.random.split(key)
+      f = jax.random.randint(kf, (), 0, len(bank.file_start))
+      start = jnp.asarray(bank.file_start)[f]
+      length = jnp.asarray(bank.file_len)[f]
+      l = jax.random.randint(kl, (), 0, jnp.int32(2 ** 30)) % length
+      flat = start + l
+      new_cursor = cursor
+    world = levels[flat]
+    return world, file_idx_arr[flat], level_idx_arr[flat], new_cursor
+
+  @staticmethod
+  def _sample_cap(cfg: Any, key: jax.Array) -> jax.Array:
+    """uniform[min_episode_steps, max_episode_steps] per episode."""
+    lo = int(cfg.min_episode_steps)
+    hi = int(cfg.max_episode_steps)
+    if lo >= hi:
+      return jnp.int32(hi)
+    # span fits uint32 even for hi = int32 max; modulo pick avoids overflow
+    span = np.uint32(hi - lo + 1)
+    bits = jax.random.bits(key, (), jnp.uint32)
+    return jnp.int32(lo) + (bits % span).astype(jnp.int32)
+
+  @classmethod
+  def _fresh_episode(
+    cls, cfg: Any, cursor: jax.Array, key: jax.Array
+  ) -> Dict[str, jax.Array]:
+    klvl, kcap = jax.random.split(key)
+    world, fidx, lidx, cursor2 = cls._load_level(cfg, cursor, klvl)
+    d = world.shape[0]
+    flat_pos = jnp.argmax(
+      ((world == PLAYER) | (world == PLAYER_ON_TARGET)).ravel()
+    ).astype(jnp.int32)
+    player = jnp.stack([flat_pos // d, flat_pos % d])
+    unmatched = jnp.sum(world == BOX).astype(jnp.int32)
+    return {
+      "world": world,
+      "player": player,
+      "unmatched": unmatched,
+      "steps": jnp.int32(0),
+      "cap": cls._sample_cap(cfg, kcap),
+      "cursor": cursor2,
+      "file_idx": fidx,
+      "level_idx": lidx,
+    }
+
+  # ------------------------------------------------------------------- hooks
+
+  @classmethod
+  def init(cls, cfg: Any, env_id: jax.Array, key: jax.Array) -> Any:
+    # Like the reference constructor, init does NOT consume a level — the
+    # first Reset does (``level_loader.cc:36``: cur_level_ starts at env_id,
+    # advancing by num_envs per episode, :208-210). The stub world below is
+    # never observed: the pool auto-resets every lane on its first step.
+    d = int(cfg.dim_room)
+    return {
+      "world": jnp.full((d, d), WALL, dtype=jnp.uint8),
+      "player": jnp.zeros(2, jnp.int32),
+      "unmatched": jnp.int32(1),
+      "steps": jnp.int32(0),
+      "cap": jnp.int32(1),
+      "cursor": env_id.astype(jnp.int32),
+      "file_idx": jnp.int32(-1),
+      "level_idx": jnp.int32(-1),
+    }
+
+  @classmethod
+  def reset(cls, cfg: Any, state: Any, key: jax.Array) -> Tuple[Any, Any, Dict]:
+    new = cls._fresh_episode(cfg, state["cursor"], key)
+    return new, cls._render(new["world"]), cls._info(new)
+
+  @classmethod
+  def step(
+    cls, cfg: Any, state: Any, action: jax.Array, key: jax.Array
+  ) -> Tuple[Any, Any, jax.Array, jax.Array, jax.Array, Dict]:
+    d = int(cfg.dim_room)
+    world = state["world"]
+    action = action.reshape(())
+    noop = action < 0
+    delta = jnp.asarray(_CHANGE_COORDINATES)[jnp.clip(action, 0, MAX_ACTION)]
+
+    p0 = state["player"]
+    p1 = p0 + delta
+    p2 = p0 + 2 * delta
+
+    def world_at(p: jax.Array) -> jax.Array:
+      # out-of-bounds reads as WALL (sokoban_envpool.cc:69-74)
+      inb = (p[0] >= 0) & (p[0] < d) & (p[1] >= 0) & (p[1] < d)
+      v = world[jnp.clip(p[0], 0, d - 1), jnp.clip(p[1], 0, d - 1)]
+      return jnp.where(inb, v, jnp.uint8(WALL))
+
+    a0, a1, a2 = world_at(p0), world_at(p1), world_at(p2)
+    box_moves = (
+      ((a1 == BOX) | (a1 == BOX_ON_TARGET)) &
+      ((a2 == EMPTY) | (a2 == TARGET))
+    )
+    agent_moves = (a1 == EMPTY) | (a1 == TARGET) | box_moves
+
+    def is_target(a: jax.Array) -> jax.Array:
+      return (a == BOX_ON_TARGET) | (a == TARGET) | (a == PLAYER_ON_TARGET)
+
+    t0, t1, t2 = is_target(a0), is_target(a1), is_target(a2)
+    new0 = jnp.where(t0, TARGET, EMPTY).astype(jnp.uint8)
+    new1 = jnp.where(t1, PLAYER_ON_TARGET, PLAYER).astype(jnp.uint8)
+    new2 = jnp.where(
+      box_moves,
+      jnp.where(t2, BOX_ON_TARGET, BOX),
+      a2,
+    ).astype(jnp.uint8)
+
+    moved = (
+      world
+      .at[p0[0], p0[1]].set(new0, mode="drop")
+      .at[p1[0], p1[1]].set(new1, mode="drop")
+      .at[p2[0], p2[1]].set(new2, mode="drop")
+    )
+    do_move = agent_moves & ~noop
+    world2 = jnp.where(do_move, moved, world)
+    player2 = jnp.where(do_move, p1, p0)
+    d_unmatched = jnp.where(
+      box_moves & do_move,
+      t1.astype(jnp.int32) - t2.astype(jnp.int32),
+      0,
+    )
+    unmatched2 = state["unmatched"] + d_unmatched
+    steps2 = state["steps"] + jnp.where(noop, 0, 1)
+
+    solved = unmatched2 == 0
+    reward = (
+      jnp.float32(cfg.reward_step) +
+      jnp.float32(cfg.reward_box) * (-d_unmatched).astype(jnp.float32) +
+      jnp.where(solved, jnp.float32(cfg.reward_finished), 0.0)
+    )
+    reward = jnp.where(noop, jnp.float32(jnp.nan), reward)
+    done = solved | (steps2 >= state["cap"])
+    trunc = jnp.where(solved, False, done)
+
+    stepped = dict(
+      state,
+      world=world2,
+      player=player2,
+      unmatched=unmatched2,
+      steps=steps2,
+    )
+    # reset-into-terminal-obs: load the next episode NOW if done, so the
+    # terminal observation/info already belong to the next episode
+    # (sokoban_envpool.cc:198-202).
+    fresh = cls._fresh_episode(cfg, state["cursor"], key)
+    out = jax.tree_util.tree_map(
+      lambda a, b: jnp.where(done, a, b), fresh, stepped
+    )
+    return out, cls._render(out["world"]), reward, done, trunc, cls._info(out)
+
+  @staticmethod
+  def _render(world: jax.Array) -> jax.Array:
+    """[D, D] tile codes -> [3, D, D] uint8 RGB via palette lookup."""
+    return jnp.transpose(jnp.asarray(TINY_COLORS)[world], (2, 0, 1))
+
+  @staticmethod
+  def _info(state: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    return {
+      "level_file_idx": state["file_idx"],
+      "level_idx": state["level_idx"],
+    }
