@@ -1,0 +1,38 @@
+"""MuJoCo gym family (host-native tier; ``envpool/mujoco/gym/``)."""
+
+from envpool_tpu.core.envpool_api import py_env
+from envpool_tpu.core.host_pool import HostEnvPool
+
+from .gym_tasks import (
+  AntEnv,
+  HalfCheetahEnv,
+  HopperEnv,
+  HumanoidEnv,
+  HumanoidStandupEnv,
+  InvertedDoublePendulumEnv,
+  InvertedPendulumEnv,
+  PusherEnv,
+  ReacherEnv,
+  SwimmerEnv,
+  Walker2dEnv,
+)
+
+__all__ = []
+
+for _env_cls in (
+  AntEnv, HalfCheetahEnv, HopperEnv, HumanoidEnv, HumanoidStandupEnv,
+  InvertedDoublePendulumEnv, InvertedPendulumEnv, PusherEnv, ReacherEnv,
+  SwimmerEnv, Walker2dEnv,
+):
+  _spec, _dm, _gym, _gymnasium = py_env(_env_cls, pool_base=HostEnvPool)
+  _name = _env_cls.name
+  # class-name prefix "Gym" matches the reference's binding names
+  # (``envpool/mujoco/gym/registration.py:47-50``)
+  globals()[f"Gym{_name}EnvSpec"] = _spec
+  globals()[f"Gym{_name}DMEnvPool"] = _dm
+  globals()[f"Gym{_name}GymEnvPool"] = _gym
+  globals()[f"Gym{_name}GymnasiumEnvPool"] = _gymnasium
+  __all__ += [
+    f"Gym{_name}EnvSpec", f"Gym{_name}DMEnvPool",
+    f"Gym{_name}GymEnvPool", f"Gym{_name}GymnasiumEnvPool",
+  ]
