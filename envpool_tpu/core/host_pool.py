@@ -174,6 +174,15 @@ class HostEnvPool:
             row[k] = info[k[5:]]
           else:
             row[k] = info[k]
+        # envs may override common fields (e.g. atari's episodic-life
+        # elapsed_step/trunc/discount rewrites, atari_env.h:210-250)
+        override = info.get("_override") if isinstance(info, dict) else None
+        if override:
+          row.update(override)
+          if "done" in override:
+            self._done[env_id] = bool(override["done"])
+          if "elapsed_step" in override:
+            self._elapsed[env_id] = int(override["elapsed_step"])
       self._completions.put((order, env_id, row))
     except BaseException as e:  # surface worker errors at recv
       self._completions.put((order, env_id, e))
