@@ -130,9 +130,12 @@ class HostEnvPool:
     ]
 
   def __del__(self) -> None:
-    ex = getattr(self, "_executor", None)
-    if ex is not None:
-      ex.shutdown(wait=False, cancel_futures=True)
+    try:
+      ex = getattr(self, "_executor", None)
+      if ex is not None:
+        ex.shutdown(wait=False, cancel_futures=True)
+    except Exception:
+      pass  # interpreter teardown: queue module may already be gone
 
   # ------------------------------------------------------------------ worker
 

@@ -2,7 +2,22 @@
 
 from envpool_tpu.core.envpool_api import py_env
 
+from .bipedal_walker import BipedalWalkerEnv, BipedalWalkerHardcoreEnv
 from .lunar_lander import LunarLanderContinuousEnv, LunarLanderEnv
+
+(
+  BipedalWalkerEnvSpec,
+  BipedalWalkerDMEnvPool,
+  BipedalWalkerGymEnvPool,
+  BipedalWalkerGymnasiumEnvPool,
+) = py_env(BipedalWalkerEnv)
+
+(
+  BipedalWalkerHardcoreEnvSpec,
+  BipedalWalkerHardcoreDMEnvPool,
+  BipedalWalkerHardcoreGymEnvPool,
+  BipedalWalkerHardcoreGymnasiumEnvPool,
+) = py_env(BipedalWalkerHardcoreEnv)
 
 (
   LunarLanderEnvSpec,
@@ -19,6 +34,16 @@ from .lunar_lander import LunarLanderContinuousEnv, LunarLanderEnv
 ) = py_env(LunarLanderContinuousEnv)
 
 __all__ = [
+  "BipedalWalkerEnv",
+  "BipedalWalkerHardcoreEnv",
+  "BipedalWalkerEnvSpec",
+  "BipedalWalkerDMEnvPool",
+  "BipedalWalkerGymEnvPool",
+  "BipedalWalkerGymnasiumEnvPool",
+  "BipedalWalkerHardcoreEnvSpec",
+  "BipedalWalkerHardcoreDMEnvPool",
+  "BipedalWalkerHardcoreGymEnvPool",
+  "BipedalWalkerHardcoreGymnasiumEnvPool",
   "LunarLanderEnv",
   "LunarLanderContinuousEnv",
   "LunarLanderEnvSpec",

@@ -266,7 +266,9 @@ class LunarLanderEnv(FuncEnv):
     is_leg = jnp.asarray(_IS_LEG_PT)
 
     sub_dt = DT / _SUBSTEPS
-    for _ in range(_SUBSTEPS):
+
+    def substep(carry, _):
+      pos, vel, angle, omega, crashed, leg_contact = carry
       vel = vel + jnp.asarray([0.0, GRAVITY]) * sub_dt
       pos = pos + vel * sub_dt
       angle = angle + omega * sub_dt
@@ -302,6 +304,12 @@ class LunarLanderEnv(FuncEnv):
       leg_contact = leg_contact | jnp.stack(
         [jnp.any(touching & (is_leg == 1)), jnp.any(touching & (is_leg == 2))]
       )
+      return (pos, vel, angle, omega, crashed, leg_contact), None
+
+    (pos, vel, angle, omega, crashed, leg_contact), _ = jax.lax.scan(
+      substep, (pos, vel, angle, omega, crashed, leg_contact), None,
+      length=_SUBSTEPS,
+    )
 
     ground_contact = leg_contact.astype(jnp.float32)
 

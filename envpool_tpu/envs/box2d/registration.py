@@ -21,3 +21,17 @@ register(
   gymnasium_cls="LunarLanderContinuousGymnasiumEnvPool",
   max_episode_steps=1000,
 )
+
+for _task, _cls in [
+  ("BipedalWalker-v3", "BipedalWalker"),
+  ("BipedalWalkerHardcore-v3", "BipedalWalkerHardcore"),
+]:
+  register(
+    task_id=_task,
+    import_path="envpool_tpu.envs.box2d",
+    spec_cls=f"{_cls}EnvSpec",
+    dm_cls=f"{_cls}DMEnvPool",
+    gym_cls=f"{_cls}GymEnvPool",
+    gymnasium_cls=f"{_cls}GymnasiumEnvPool",
+    max_episode_steps=1600 if _cls == "BipedalWalker" else 2000,
+  )

@@ -1,0 +1,34 @@
+"""MuJoCo dm_control-suite family (host tier; ``envpool/mujoco/dmc/``)."""
+
+from envpool_tpu.core.envpool_api import py_env
+from envpool_tpu.core.host_pool import HostEnvPool
+
+from .domains import (
+  DmcAcrobotEnv,
+  DmcBallInCupEnv,
+  DmcCartpoleEnv,
+  DmcCheetahEnv,
+  DmcHopperEnv,
+  DmcPendulumEnv,
+  DmcPointMassEnv,
+  DmcReacherEnv,
+  DmcWalkerEnv,
+)
+
+__all__ = []
+
+for _env_cls in (
+  DmcAcrobotEnv, DmcBallInCupEnv, DmcCartpoleEnv, DmcCheetahEnv,
+  DmcHopperEnv, DmcPendulumEnv, DmcPointMassEnv, DmcReacherEnv,
+  DmcWalkerEnv,
+):
+  _spec, _dm, _gym, _gymnasium = py_env(_env_cls, pool_base=HostEnvPool)
+  _name = _env_cls.name  # "DmcPendulum" etc.
+  globals()[f"{_name}EnvSpec"] = _spec
+  globals()[f"{_name}DMEnvPool"] = _dm
+  globals()[f"{_name}GymEnvPool"] = _gym
+  globals()[f"{_name}GymnasiumEnvPool"] = _gymnasium
+  __all__ += [
+    f"{_name}EnvSpec", f"{_name}DMEnvPool",
+    f"{_name}GymEnvPool", f"{_name}GymnasiumEnvPool",
+  ]

@@ -1,0 +1,599 @@
+"""dm_control-suite domains (task logic from the reference headers).
+
+Each class reproduces the corresponding ``envpool/mujoco/dmc/<domain>.h``
+observation layout, episode initialization and reward exactly; the MJCF
+models are the replicas in ``assets.py``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict
+
+import numpy as np
+
+from envpool_tpu.core.spec import ArraySpec
+
+from . import assets
+from .base import DmcEnv
+from .rewards import LINEAR, QUADRATIC, tolerance
+
+_INF = float("inf")
+
+
+class DmcPendulumEnv(DmcEnv):
+  """dmc pendulum swingup (``envpool/mujoco/dmc/pendulum.h``)."""
+
+  name = "DmcPendulum"
+  model_xml = assets.PENDULUM_XML
+  _COS_BOUND = math.cos(8.0 / 180 * math.pi)
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {"frame_skip": 1, "task_name": "swingup"}
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {
+      "obs:orientation": ArraySpec(np.float64, (2,)),
+      "obs:velocity": ArraySpec(np.float64, (1,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float64, (-1, 1), -1.0, 1.0)}
+
+  def __init__(self, cfg: Any, env_id: int) -> None:
+    super().__init__(cfg, env_id)
+    if self.task_name != "swingup":
+      raise RuntimeError(
+        f"Unknown task_name {self.task_name} for dmc pendulum."
+      )
+    self.id_pole = self.body_id("pole")
+    self.id_hinge = self.qvel_id("hinge")
+
+  def task_initialize_episode(self) -> None:
+    self.data.qpos[0] = self.gen.uniform(-math.pi, math.pi)
+
+  def task_get_reward(self) -> float:
+    zz = self.data.xmat[self.id_pole].reshape(3, 3)[2, 2]
+    return tolerance(zz, self._COS_BOUND, 1.0)
+
+  def task_observation(self) -> Dict[str, np.ndarray]:
+    xmat = self.data.xmat[self.id_pole].reshape(3, 3)
+    return {
+      "orientation": np.asarray([xmat[2, 2], xmat[0, 2]]),
+      "velocity": np.asarray([self.data.qvel[self.id_hinge]]),
+    }
+
+
+class DmcCartpoleEnv(DmcEnv):
+  """dmc cartpole (``envpool/mujoco/dmc/cartpole.h``)."""
+
+  name = "DmcCartpole"
+  model_xml = staticmethod(assets.cartpole_xml)
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {"frame_skip": 1, "task_name": "balance"}
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    task = str(cfg.task_name)
+    n = {"two_poles": 2, "three_poles": 3}.get(task, 1)
+    if task not in (
+      "balance", "balance_sparse", "swingup", "swingup_sparse",
+      "two_poles", "three_poles",
+    ):
+      raise RuntimeError(f"Unknown task_name {task} for dmc cartpole.")
+    return {
+      "obs:position": ArraySpec(np.float64, (1 + 2 * n,)),
+      "obs:velocity": ArraySpec(np.float64, (1 + n,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float64, (-1, 1), -1.0, 1.0)}
+
+  def __init__(self, cfg: Any, env_id: int) -> None:
+    super().__init__(cfg, env_id)
+    t = self.task_name
+    self.is_sparse = t in ("balance_sparse", "swingup_sparse")
+    self.is_swingup = t in (
+      "swingup", "swingup_sparse", "two_poles", "three_poles"
+    )
+    self.id_slider = self.qpos_id("slider")
+    self.id_hinge1 = self.qpos_id("hinge_1")
+
+  def task_initialize_episode(self) -> None:
+    # cartpole.h:121-137
+    if self.is_swingup:
+      self.data.qpos[self.id_slider] = self.gen.normal(0, 0.01)
+      self.data.qpos[self.id_hinge1] = self.gen.normal(math.pi, 0.01)
+      for i in range(2, self.model.nq):
+        self.data.qpos[i] = self.gen.normal(0, 0.01)
+    else:
+      self.data.qpos[self.id_slider] = self.gen.uniform(-0.1, 0.1)
+      for i in range(1, self.model.nq):
+        self.data.qpos[i] = self.gen.uniform(-0.034, 0.034)
+    for i in range(self.model.nv):
+      self.data.qvel[i] = self.gen.normal(0, 0.01)
+
+  def _pole_angle_cosine(self) -> np.ndarray:
+    return np.asarray([
+      self.data.xmat[i].reshape(3, 3)[2, 2]
+      for i in range(2, self.model.nbody)
+    ])
+
+  def task_get_reward(self) -> float:
+    # cartpole.h:152-183
+    cart = self.data.qpos[self.id_slider]
+    cosines = self._pole_angle_cosine()
+    if self.is_sparse:
+      cart_in_bounds = tolerance(cart, -0.25, 0.25)
+      angle_in_bounds = 1.0
+      for x in cosines:
+        angle_in_bounds *= tolerance(x, 0.995, 1.0)
+      return float(cart_in_bounds * angle_in_bounds)
+    upright = float(np.mean((cosines + 1) / 2))
+    centered = (1 + tolerance(cart, 0.0, 0.0, 2.0)) / 2
+    small_control = (
+      tolerance(self.data.ctrl[0], 0.0, 0.0, 1.0, 0.0, QUADRATIC) + 4
+    ) / 5
+    small_velocity = min(
+      tolerance(v, 0.0, 0.0, 5.0) for v in self.data.qvel[1:]
+    )
+    small_velocity = (small_velocity + 1) / 2
+    return float(upright * small_control * small_velocity * centered)
+
+  def task_observation(self) -> Dict[str, np.ndarray]:
+    pos = [self.data.qpos[self.id_slider]]
+    for i in range(2, self.model.nbody):
+      xmat = self.data.xmat[i].reshape(3, 3)
+      pos += [xmat[2, 2], xmat[0, 2]]
+    return {
+      "position": np.asarray(pos),
+      "velocity": np.copy(self.data.qvel),
+    }
+
+
+class DmcPointMassEnv(DmcEnv):
+  """dmc point_mass easy/hard (``envpool/mujoco/dmc/point_mass.h``)."""
+
+  name = "DmcPointMass"
+  model_xml = assets.POINT_MASS_XML
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {"frame_skip": 1, "task_name": "easy"}
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {
+      "obs:position": ArraySpec(np.float64, (2,)),
+      "obs:velocity": ArraySpec(np.float64, (2,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float64, (-1, 2), -1.0, 1.0)}
+
+  def __init__(self, cfg: Any, env_id: int) -> None:
+    super().__init__(cfg, env_id)
+    if self.task_name not in ("easy", "hard"):
+      raise RuntimeError(
+        f"Unknown task_name {self.task_name} for dmc point_mass."
+      )
+    self.randomize_gains = self.task_name == "hard"
+    self.id_target = self.geom_id("target")
+    self.id_pointmass = self.geom_id("pointmass")
+
+  def _dir(self) -> np.ndarray:
+    d = self.gen.normal(0, 1, 2)
+    return d / np.linalg.norm(d)
+
+  def task_initialize_episode(self) -> None:
+    self.randomize_limited_and_rotational_joints()
+    if self.randomize_gains:
+      dir1 = self._dir()
+      while True:
+        dir2 = self._dir()
+        if abs(float(dir1 @ dir2)) <= 0.9:
+          break
+      self.model.wrap_prm[0:2] = dir1
+      self.model.wrap_prm[2:4] = dir2
+
+  def task_get_reward(self) -> float:
+    target_size = float(self.model.geom_size[self.id_target, 0])
+    d = self.data.geom_xpos[self.id_target] - self.data.geom_xpos[
+      self.id_pointmass
+    ]
+    near = tolerance(float(np.linalg.norm(d)), 0, target_size, target_size)
+    control = (
+      tolerance(self.data.ctrl[0], 0, 0, 1, 0, QUADRATIC)
+      + tolerance(self.data.ctrl[1], 0, 0, 1, 0, QUADRATIC)
+    ) / 2
+    small_control = (control + 4) / 5
+    return float(near * small_control)
+
+  def task_observation(self) -> Dict[str, np.ndarray]:
+    return {
+      "position": np.copy(self.data.qpos),
+      "velocity": np.copy(self.data.qvel),
+    }
+
+
+class DmcReacherEnv(DmcEnv):
+  """dmc reacher easy/hard (``envpool/mujoco/dmc/reacher.h``)."""
+
+  name = "DmcReacher"
+  model_xml = assets.REACHER_XML
+  _BIG_TARGET = 0.05
+  _SMALL_TARGET = 0.015
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {"frame_skip": 1, "task_name": "easy"}
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {
+      "obs:position": ArraySpec(np.float64, (2,)),
+      "obs:to_target": ArraySpec(np.float64, (2,)),
+      "obs:velocity": ArraySpec(np.float64, (2,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float64, (-1, 2), -1.0, 1.0)}
+
+  def __init__(self, cfg: Any, env_id: int) -> None:
+    super().__init__(cfg, env_id)
+    if self.task_name not in ("easy", "hard"):
+      raise RuntimeError(
+        f"Unknown task_name {self.task_name} for dmc reacher."
+      )
+    self.target_size = (
+      self._BIG_TARGET if self.task_name == "easy" else self._SMALL_TARGET
+    )
+    self.id_target = self.geom_id("target")
+    self.id_finger = self.geom_id("finger")
+
+  def task_initialize_episode(self) -> None:
+    self.model.geom_size[self.id_target, 0] = self.target_size
+    self.randomize_limited_and_rotational_joints()
+    angle = self.gen.uniform(0, 2 * math.pi)
+    radius = self.gen.uniform(0.05, 0.2)
+    self.model.geom_pos[self.id_target, 0] = radius * math.sin(angle)
+    self.model.geom_pos[self.id_target, 1] = radius * math.cos(angle)
+
+  def _to_target(self) -> np.ndarray:
+    return (
+      self.data.geom_xpos[self.id_target, :2]
+      - self.data.geom_xpos[self.id_finger, :2]
+    )
+
+  def task_get_reward(self) -> float:
+    radii = float(
+      self.model.geom_size[self.id_target, 0]
+      + self.model.geom_size[self.id_finger, 0]
+    )
+    return tolerance(float(np.linalg.norm(self._to_target())), 0, radii)
+
+  def task_observation(self) -> Dict[str, np.ndarray]:
+    return {
+      "position": np.copy(self.data.qpos),
+      "to_target": self._to_target(),
+      "velocity": np.copy(self.data.qvel),
+    }
+
+
+class DmcCheetahEnv(DmcEnv):
+  """dmc cheetah run (``envpool/mujoco/dmc/cheetah.h``)."""
+
+  name = "DmcCheetah"
+  model_xml = assets.CHEETAH_XML
+  _RUN_SPEED = 10.0
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {"frame_skip": 1, "task_name": "run"}
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {
+      "obs:position": ArraySpec(np.float64, (8,)),
+      "obs:velocity": ArraySpec(np.float64, (9,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float64, (-1, 6), -1.0, 1.0)}
+
+  def __init__(self, cfg: Any, env_id: int) -> None:
+    super().__init__(cfg, env_id)
+    if self.task_name != "run":
+      raise RuntimeError(
+        f"Unknown task_name {self.task_name} for dmc cheetah."
+      )
+    self.id_speed = self.sensor_id("torso_subtreelinvel")
+
+  def task_initialize_episode(self) -> None:
+    # cheetah.h:86-100: randomize limited joints, then settle 200 steps
+    for j in range(self.model.njnt):
+      if self.model.jnt_limited[j]:
+        lo, hi = self.model.jnt_range[j]
+        self.data.qpos[self.model.jnt_qposadr[j]] = self.gen.uniform(lo, hi)
+    self.physics_step(200)
+    self.data.time = 0.0
+
+  def task_get_reward(self) -> float:
+    speed = float(self.data.sensordata[self.id_speed])
+    return tolerance(
+      speed, self._RUN_SPEED, _INF, self._RUN_SPEED, 0, LINEAR
+    )
+
+  def task_observation(self) -> Dict[str, np.ndarray]:
+    return {
+      "position": np.copy(self.data.qpos[1:]),
+      "velocity": np.copy(self.data.qvel),
+    }
+
+
+class DmcAcrobotEnv(DmcEnv):
+  """dmc acrobot swingup(_sparse) (``envpool/mujoco/dmc/acrobot.h``)."""
+
+  name = "DmcAcrobot"
+  model_xml = assets.ACROBOT_XML
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {"frame_skip": 1, "task_name": "swingup"}
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {
+      "obs:orientations": ArraySpec(np.float64, (4,)),
+      "obs:velocity": ArraySpec(np.float64, (2,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float64, (-1, 1), -1.0, 1.0)}
+
+  def __init__(self, cfg: Any, env_id: int) -> None:
+    super().__init__(cfg, env_id)
+    if self.task_name not in ("swingup", "swingup_sparse"):
+      raise RuntimeError(
+        f"Unknown task_name {self.task_name} for dmc acrobot."
+      )
+    self.is_sparse = self.task_name == "swingup_sparse"
+    self.id_upper = self.body_id("upper_arm")
+    self.id_lower = self.body_id("lower_arm")
+    mujoco = self._mujoco
+    self.id_target = mujoco.mj_name2id(
+      self.model, mujoco.mjtObj.mjOBJ_SITE, "target"
+    )
+    self.id_tip = mujoco.mj_name2id(
+      self.model, mujoco.mjtObj.mjOBJ_SITE, "tip"
+    )
+    self.id_shoulder = self.qpos_id("shoulder")
+    self.id_elbow = self.qpos_id("elbow")
+
+  def task_initialize_episode(self) -> None:
+    self.data.qpos[self.id_shoulder] = self.gen.uniform(-math.pi, math.pi)
+    self.data.qpos[self.id_elbow] = self.gen.uniform(-math.pi, math.pi)
+
+  def task_get_reward(self) -> float:
+    target_radius = float(self.model.site_size[self.id_target, 0])
+    d = np.linalg.norm(
+      self.data.site_xpos[self.id_target] - self.data.site_xpos[self.id_tip]
+    )
+    return tolerance(
+      float(d), 0.0, target_radius, 0.0 if self.is_sparse else 1.0
+    )
+
+  def task_observation(self) -> Dict[str, np.ndarray]:
+    xu = self.data.xmat[self.id_upper].reshape(3, 3)
+    xl = self.data.xmat[self.id_lower].reshape(3, 3)
+    return {
+      "orientations": np.asarray(
+        [xu[0, 2], xl[0, 2], xu[2, 2], xl[2, 2]]
+      ),
+      "velocity": np.copy(self.data.qvel),
+    }
+
+
+class DmcBallInCupEnv(DmcEnv):
+  """dmc ball_in_cup catch (``envpool/mujoco/dmc/ball_in_cup.h``)."""
+
+  name = "DmcBallInCup"
+  model_xml = assets.BALL_IN_CUP_XML
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {"frame_skip": 1, "task_name": "catch"}
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {
+      "obs:position": ArraySpec(np.float64, (4,)),
+      "obs:velocity": ArraySpec(np.float64, (4,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float64, (-1, 2), -1.0, 1.0)}
+
+  def __init__(self, cfg: Any, env_id: int) -> None:
+    super().__init__(cfg, env_id)
+    if self.task_name != "catch":
+      raise RuntimeError(
+        f"Unknown task_name {self.task_name} for dmc ball_in_cup."
+      )
+    mujoco = self._mujoco
+    self.id_target = mujoco.mj_name2id(
+      self.model, mujoco.mjtObj.mjOBJ_SITE, "target"
+    )
+    self.id_ball = self.body_id("ball")
+    self.id_ball_x = self.qpos_id("ball_x")
+    self.id_ball_z = self.qpos_id("ball_z")
+
+  def task_initialize_episode(self) -> None:
+    # rejection sample a collision-free drop position (ball_in_cup.h:86-97)
+    for _ in range(1000):
+      self.data.qpos[self.id_ball_x] = self.gen.uniform(-0.2, 0.2)
+      self.data.qpos[self.id_ball_z] = self.gen.uniform(0.2, 0.5)
+      self._forward_no_actuation()
+      if self.data.ncon <= 0:
+        break
+
+  def _in_target(self) -> bool:
+    target = self.data.site_xpos[self.id_target][[0, 2]]
+    ball = self.data.xpos[self.id_ball][[0, 2]]
+    size = self.model.site_size[self.id_target][[0, 2]]
+    d = np.abs(target - ball)
+    return bool(np.all(d < size))
+
+  def task_get_reward(self) -> float:
+    return 1.0 if self._in_target() else 0.0
+
+  def task_observation(self) -> Dict[str, np.ndarray]:
+    return {
+      "position": np.copy(self.data.qpos),
+      "velocity": np.copy(self.data.qvel),
+    }
+
+
+class DmcHopperEnv(DmcEnv):
+  """dmc hopper stand/hop (``envpool/mujoco/dmc/hopper.h``)."""
+
+  name = "DmcHopper"
+  model_xml = assets.DMC_HOPPER_XML
+  _STAND_HEIGHT = 0.6
+  _HOP_SPEED = 2.0
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {"frame_skip": 4, "task_name": "stand"}
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {
+      "obs:position": ArraySpec(np.float64, (6,)),
+      "obs:velocity": ArraySpec(np.float64, (7,)),
+      "obs:touch": ArraySpec(np.float64, (2,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float64, (-1, 4), -1.0, 1.0)}
+
+  def __init__(self, cfg: Any, env_id: int) -> None:
+    super().__init__(cfg, env_id)
+    if self.task_name not in ("stand", "hop"):
+      raise RuntimeError(
+        f"Unknown task_name {self.task_name} for dmc hopper."
+      )
+    self.hopping = self.task_name == "hop"
+    self.id_torso = self.body_id("torso")
+    self.id_foot = self.body_id("foot")
+    self.id_speed = self.sensor_id("torso_subtreelinvel")
+    self.id_toe = self.sensor_id("touch_toe")
+    self.id_heel = self.sensor_id("touch_heel")
+
+  def task_initialize_episode(self) -> None:
+    self.randomize_limited_and_rotational_joints()
+
+  def _height(self) -> float:
+    return float(
+      self.data.xipos[self.id_torso, 2] - self.data.xipos[self.id_foot, 2]
+    )
+
+  def task_get_reward(self) -> float:
+    standing = tolerance(self._height(), self._STAND_HEIGHT, 2.0)
+    if self.hopping:
+      hop = tolerance(
+        float(self.data.sensordata[self.id_speed]),
+        self._HOP_SPEED, _INF, self._HOP_SPEED / 2, 0.5, LINEAR,
+      )
+      return float(standing * hop)
+    small_control = float(np.mean([
+      tolerance(c, 0.0, 0.0, 1.0, 0.0, QUADRATIC) for c in self.data.ctrl
+    ]))
+    small_control = (small_control + 4) / 5
+    return float(standing * small_control)
+
+  def task_observation(self) -> Dict[str, np.ndarray]:
+    return {
+      "position": np.copy(self.data.qpos[1:]),
+      "velocity": np.copy(self.data.qvel),
+      "touch": np.log1p(np.asarray([
+        self.data.sensordata[self.id_toe],
+        self.data.sensordata[self.id_heel],
+      ])),
+    }
+
+
+class DmcWalkerEnv(DmcEnv):
+  """dmc walker stand/walk/run (``envpool/mujoco/dmc/walker.h``)."""
+
+  name = "DmcWalker"
+  model_xml = assets.DMC_WALKER_XML
+  _STAND_HEIGHT = 1.2
+  _SPEEDS = {"stand": 0.0, "walk": 1.0, "run": 8.0}
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {"frame_skip": 10, "task_name": "stand"}
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {
+      "obs:orientations": ArraySpec(np.float64, (14,)),
+      "obs:height": ArraySpec(np.float64, (-1,)),
+      "obs:velocity": ArraySpec(np.float64, (9,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float64, (-1, 6), -1.0, 1.0)}
+
+  def __init__(self, cfg: Any, env_id: int) -> None:
+    super().__init__(cfg, env_id)
+    if self.task_name not in self._SPEEDS:
+      raise RuntimeError(
+        f"Unknown task_name {self.task_name} for dmc walker."
+      )
+    self.move_speed = self._SPEEDS[self.task_name]
+    self.id_torso = self.body_id("torso")
+    self.id_speed = self.sensor_id("torso_subtreelinvel")
+
+  def task_initialize_episode(self) -> None:
+    self.randomize_limited_and_rotational_joints()
+
+  def task_get_reward(self) -> float:
+    height = float(self.data.xpos[self.id_torso, 2])
+    upright = (1 + self.data.xmat[self.id_torso].reshape(3, 3)[2, 2]) / 2
+    standing = tolerance(
+      height, self._STAND_HEIGHT, _INF, self._STAND_HEIGHT / 2
+    )
+    stand_reward = (3 * standing + upright) / 4
+    if self.move_speed == 0:
+      return float(stand_reward)
+    move = tolerance(
+      float(self.data.sensordata[self.id_speed]),
+      self.move_speed, _INF, self.move_speed / 2, 0.5, LINEAR,
+    )
+    return float(stand_reward * (5 * move + 1) / 6)
+
+  def task_observation(self) -> Dict[str, np.ndarray]:
+    orient = []
+    for i in range(1, 8):
+      xmat = self.data.xmat[i].reshape(3, 3)
+      orient += [xmat[0, 0], xmat[0, 2]]
+    return {
+      "orientations": np.asarray(orient),
+      "height": np.float64(self.data.xpos[self.id_torso, 2]),
+      "velocity": np.copy(self.data.qvel),
+    }

@@ -42,3 +42,43 @@ for task, version, post_constraint, max_episode_steps in gym_mujoco_envs:
     max_episode_steps=max_episode_steps,
     **extra_args,
   )
+
+
+# dm_control suite subset (``envpool/mujoco/dmc/registration.py``); the
+# remaining suite domains land with their MJCF replicas in later revisions.
+dmc_mujoco_envs = [
+  ("acrobot", "swingup", 1000),
+  ("acrobot", "swingup_sparse", 1000),
+  ("ball_in_cup", "catch", 1000),
+  ("hopper", "hop", 1000),
+  ("hopper", "stand", 1000),
+  ("walker", "run", 1000),
+  ("walker", "stand", 1000),
+  ("walker", "walk", 1000),
+  ("cartpole", "balance", 1000),
+  ("cartpole", "balance_sparse", 1000),
+  ("cartpole", "swingup", 1000),
+  ("cartpole", "swingup_sparse", 1000),
+  ("cartpole", "three_poles", 1000),
+  ("cartpole", "two_poles", 1000),
+  ("cheetah", "run", 1000),
+  ("pendulum", "swingup", 1000),
+  ("point_mass", "easy", 1000),
+  ("point_mass", "hard", 1000),
+  ("reacher", "easy", 1000),
+  ("reacher", "hard", 1000),
+]
+
+for domain, task, max_episode_steps in dmc_mujoco_envs:
+  domain_name = "".join(g[:1].upper() + g[1:] for g in domain.split("_"))
+  task_name = "".join(g[:1].upper() + g[1:] for g in task.split("_"))
+  register(
+    task_id=f"{domain_name}{task_name}-v1",
+    import_path="envpool_tpu.envs.mujoco.dmc",
+    spec_cls=f"Dmc{domain_name}EnvSpec",
+    dm_cls=f"Dmc{domain_name}DMEnvPool",
+    gym_cls=f"Dmc{domain_name}GymEnvPool",
+    gymnasium_cls=f"Dmc{domain_name}GymnasiumEnvPool",
+    task_name=task,
+    max_episode_steps=max_episode_steps,
+  )

@@ -32,10 +32,10 @@ from .level_loader import (
   parse_level_file,
 )
 
-# Up, Right, Down, Left in (dx, dy) — solver move order
-# (``sokoban_node.h:29-31``). NOTE: this differs from the env's action
-# numbering (up/down/left/right); ``SOLVER_TO_ENV_ACTION`` converts.
-DELTA = ((0, -1), (1, 0), (0, 1), (-1, 0))
+# Up, Right, Down, Left in (row, col) deltas — solver move order
+# (``sokoban_node.h:29-31``). The env numbers actions up/down/left/right
+# (0/1/2/3); ``SOLVER_TO_ENV_ACTION`` converts.
+DELTA = ((-1, 0), (0, 1), (1, 0), (0, -1))
 SOLVER_TO_ENV_ACTION = (0, 3, 1, 2)  # up, right, down, left -> env codes
 
 Pos = Tuple[int, int]
@@ -150,7 +150,17 @@ class SokobanSolver:
 def solve_level(
   level: np.ndarray, node_limit: int = 1_000_000
 ) -> Tuple[Optional[List[int]], int]:
-  """Solve one level; returns env-numbered actions (0=up,1=down,2=left,3=right)."""
+  """Solve one level; returns env-numbered actions (0=up,1=down,2=left,3=right).
+
+  Uses the native C++ solver (``envpool_tpu/native/sokoban_native.cpp``,
+  counterpart of the reference's ``sokoban_node.cc`` A*) when the library
+  is available, falling back to the pure-Python search.
+  """
+  from envpool_tpu import native
+  if native.available():
+    actions = native.solve(level, node_limit)
+    if actions is not None:
+      return actions, -1  # the C API does not report expansion counts
   actions, steps = SokobanSolver(level).solve(node_limit)
   if actions is None:
     return None, steps

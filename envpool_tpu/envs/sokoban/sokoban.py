@@ -58,9 +58,13 @@ from .level_loader import (
 ACT_PUSH_UP, ACT_PUSH_DOWN, ACT_PUSH_LEFT, ACT_PUSH_RIGHT = range(4)
 MAX_ACTION = ACT_PUSH_RIGHT
 
-# (dx, dy) per action, x = row, y = column (sokoban_envpool.cc:82-83)
+# Per-action (row, col) deltas. The reference's kChangeCoordinates
+# {{0,-1},{0,1},{-1,0},{1,0}} are (x, y) pairs with x the COLUMN (its
+# world is indexed ``world_.at(x + y * dim)``, sokoban_envpool.cc:69-74,
+# :82-83); our world arrays are [row, col], so the same four actions
+# up/down/left/right become:
 _CHANGE_COORDINATES = np.asarray(
-  [[0, -1], [0, 1], [-1, 0], [1, 0]], dtype=np.int32
+  [[-1, 0], [1, 0], [0, -1], [0, 1]], dtype=np.int32
 )
 
 # tiny-world RGB palette indexed by tile code (sokoban_envpool.cc:171-177)
