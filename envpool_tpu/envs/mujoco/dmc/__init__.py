@@ -8,10 +8,12 @@ from .domains import (
   DmcBallInCupEnv,
   DmcCartpoleEnv,
   DmcCheetahEnv,
+  DmcFingerEnv,
   DmcHopperEnv,
   DmcPendulumEnv,
   DmcPointMassEnv,
   DmcReacherEnv,
+  DmcSwimmerEnv,
   DmcWalkerEnv,
 )
 
@@ -19,8 +21,8 @@ __all__ = []
 
 for _env_cls in (
   DmcAcrobotEnv, DmcBallInCupEnv, DmcCartpoleEnv, DmcCheetahEnv,
-  DmcHopperEnv, DmcPendulumEnv, DmcPointMassEnv, DmcReacherEnv,
-  DmcWalkerEnv,
+  DmcFingerEnv, DmcHopperEnv, DmcPendulumEnv, DmcPointMassEnv,
+  DmcReacherEnv, DmcSwimmerEnv, DmcWalkerEnv,
 ):
   _spec, _dm, _gym, _gymnasium = py_env(_env_cls, pool_base=HostEnvPool)
   _name = _env_cls.name  # "DmcPendulum" etc.

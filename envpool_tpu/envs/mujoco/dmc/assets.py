@@ -431,3 +431,115 @@ DMC_WALKER_XML = """
   </sensor>
 </mujoco>
 """
+
+FINGER_XML = """
+<mujoco model="finger">
+  <option timestep="0.01"/>
+  <default>
+    <joint damping="0.1"/>
+    <geom friction="1 0.005 0.001"/>
+  </default>
+  <worldbody>
+    <body name="proximal_body" pos="0 0 0.7">
+      <joint name="proximal" type="hinge" axis="0 1 0" limited="true"
+             range="-1.92 1.92" damping="2.5"/>
+      <geom name="proximal_geom" type="capsule" fromto="0 0 0 0 0 -0.17"
+            size="0.03"/>
+      <body name="distal_body" pos="0 0 -0.17">
+        <joint name="distal" type="hinge" axis="0 1 0" limited="true"
+               range="-1.1 1.1" damping="2.5"/>
+        <geom name="distal_geom" type="capsule" fromto="0 0 0 0 0 -0.16"
+              size="0.028"/>
+        <geom name="fingertip" type="capsule"
+              fromto="0 0 -0.16 0 0 -0.19" size="0.03"/>
+        <site name="touchtop_site" pos="0.01 0 -0.17" size="0.01"/>
+        <site name="touchbottom_site" pos="-0.01 0 -0.21" size="0.01"/>
+        <site name="tip" pos="0 0 -0.19" size="0.01"/>
+      </body>
+    </body>
+    <body name="spinner" pos="0.2 0 0.4">
+      <joint name="hinge" type="hinge" axis="0 1 0" damping="0.5"/>
+      <geom name="cap1" type="capsule" fromto="0 0 -0.13 0 0 0.13"
+            size="0.02" mass="0.1"/>
+      <site name="spinner_site" pos="0 0 0" size="0.005"/>
+      <site name="spintip" pos="0 0 0.13" size="0.01"/>
+    </body>
+    <site name="target" pos="0.2 0 0.55" size="0.07"/>
+  </worldbody>
+  <actuator>
+    <motor name="proximal" joint="proximal" gear="3" ctrllimited="true"
+           ctrlrange="-1 1"/>
+    <motor name="distal" joint="distal" gear="1.5" ctrllimited="true"
+           ctrlrange="-1 1"/>
+  </actuator>
+  <sensor>
+    <jointpos name="proximal" joint="proximal"/>
+    <jointpos name="distal" joint="distal"/>
+    <jointvel name="proximal_velocity" joint="proximal"/>
+    <jointvel name="distal_velocity" joint="distal"/>
+    <jointvel name="hinge_velocity" joint="hinge"/>
+    <framepos name="tip" objtype="site" objname="tip"/>
+    <framepos name="target" objtype="site" objname="target"/>
+    <framepos name="spinner" objtype="site" objname="spinner_site"/>
+    <touch name="touchtop" site="touchtop_site"/>
+    <touch name="touchbottom" site="touchbottom_site"/>
+  </sensor>
+</mujoco>
+"""
+
+
+def swimmer_xml(task_name: str) -> str:
+  """Counterpart of XMLMakeSwimmer (dmc/utils.cc:75-160): an n-link chain
+  in a viscous fluid, per-link velocimeter+gyro, nose/target geoms."""
+  n = {"swimmer6": 6, "swimmer15": 15}.get(task_name, 3)
+  joint_range = 360.0 / n
+  body = ""
+  for i in range(n - 2, -1, -1):
+    body = f"""
+      <body name="segment_{i}" pos="0 .1 0">
+        <joint name="joint_{i}" type="hinge" axis="0 0 1" limited="true"
+               range="-{joint_range} {joint_range}"/>
+        <geom name="visual_{i}" type="capsule" fromto="0 0 0 0 0.1 0"
+              size="0.01"/>
+        <site name="site_{i}" pos="0 0.05 0" size="0.005"/>
+        {body}
+      </body>"""
+  actuators = "\n".join(
+    f'    <motor name="motor_{i}" joint="joint_{i}" gear="5e-4"'
+    f' ctrllimited="true" ctrlrange="-1 1"/>' for i in range(n - 1)
+  )
+  sensors = "\n".join(
+    f'    <velocimeter name="velocimeter_{i}" site="site_{i}"/>\n'
+    f'    <gyro name="gyro_{i}" site="site_{i}"/>'
+    for i in range(n - 1)
+  )
+  return f"""
+<mujoco model="swimmer">
+  <compiler angle="degree"/>
+  <option timestep="0.002" density="4000" viscosity="0.1">
+    <flag contact="disable"/>
+  </option>
+  <worldbody>
+    <light name="target_light" pos="0 0 1"/>
+    <geom name="target" type="sphere" pos="1 1 0.01" size="0.04"
+          contype="0" conaffinity="0"/>
+    <body name="head" pos="0 0 0.01">
+      <joint name="rootx" type="slide" axis="1 0 0"/>
+      <joint name="rooty" type="slide" axis="0 1 0"/>
+      <joint name="rootz" type="hinge" axis="0 0 1"/>
+      <geom name="head_geom" type="capsule" fromto="0 0 0 0 0.05 0"
+            size="0.012"/>
+      <geom name="nose" type="sphere" pos="0 -0.02 0" size="0.008"/>
+      <site name="head_site" pos="0 0 0" size="0.005"/>
+      {body}
+    </body>
+  </worldbody>
+  <actuator>
+{actuators}
+  </actuator>
+  <sensor>
+    <velocimeter name="velocimeter_head" site="head_site"/>
+    <gyro name="gyro_head" site="head_site"/>
+{sensors}
+  </sensor>
+</mujoco>"""

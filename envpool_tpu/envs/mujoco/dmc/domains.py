@@ -16,7 +16,7 @@ from envpool_tpu.core.spec import ArraySpec
 
 from . import assets
 from .base import DmcEnv
-from .rewards import LINEAR, QUADRATIC, tolerance
+from .rewards import LINEAR, LONG_TAIL, QUADRATIC, tolerance
 
 _INF = float("inf")
 
@@ -596,4 +596,209 @@ class DmcWalkerEnv(DmcEnv):
       "orientations": np.asarray(orient),
       "height": np.float64(self.data.xpos[self.id_torso, 2]),
       "velocity": np.copy(self.data.qvel),
+    }
+
+
+class DmcFingerEnv(DmcEnv):
+  """dmc finger spin/turn_easy/turn_hard (``envpool/mujoco/dmc/finger.h``)."""
+
+  name = "DmcFinger"
+  model_xml = assets.FINGER_XML
+  _EASY_TARGET = 0.07
+  _HARD_TARGET = 0.03
+  _SPIN_VELOCITY = 15.0
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {"frame_skip": 2, "task_name": "spin"}
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {
+      "obs:position": ArraySpec(np.float64, (4,)),
+      "obs:velocity": ArraySpec(np.float64, (3,)),
+      "obs:touch": ArraySpec(np.float64, (2,)),
+      "obs:target_position": ArraySpec(np.float64, (2,)),
+      "obs:dist_to_target": ArraySpec(np.float64, ()),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float64, (-1, 2), -1.0, 1.0)}
+
+  def __init__(self, cfg: Any, env_id: int) -> None:
+    super().__init__(cfg, env_id)
+    if self.task_name not in ("spin", "turn_easy", "turn_hard"):
+      raise RuntimeError(
+        f"Unknown task_name {self.task_name} for dmc finger."
+      )
+    self.is_spin = self.task_name == "spin"
+    self.target_radius = (
+      self._EASY_TARGET if self.task_name == "turn_easy"
+      else self._HARD_TARGET
+    )
+    mujoco = self._mujoco
+    self.id_site_target = mujoco.mj_name2id(
+      self.model, mujoco.mjtObj.mjOBJ_SITE, "target"
+    )
+    self.id_hinge_joint = mujoco.mj_name2id(
+      self.model, mujoco.mjtObj.mjOBJ_JOINT, "hinge"
+    )
+    self.id_hinge_dof = self.qvel_id("hinge")
+    self.id_cap1 = self.geom_id("cap1")
+    for s in (
+      "proximal", "distal", "proximal_velocity", "distal_velocity",
+      "hinge_velocity", "tip", "target", "spinner", "touchtop",
+      "touchbottom",
+    ):
+      setattr(self, f"s_{s}", self.sensor_id(s))
+
+  def task_initialize_episode(self) -> None:
+    # finger.h:118-141
+    if self.is_spin:
+      self.model.dof_damping[self.id_hinge_dof] = 0.03
+    else:
+      target_angle = self.gen.uniform(-math.pi, math.pi)
+      hinge_x = self.data.xanchor[self.id_hinge_dof, 0]
+      hinge_z = self.data.xanchor[self.id_hinge_dof, 2]
+      radius = float(np.sum(self.model.geom_size[self.id_cap1]))
+      self.model.site_pos[self.id_site_target, 0] = (
+        hinge_x + radius * math.sin(target_angle)
+      )
+      self.model.site_pos[self.id_site_target, 2] = (
+        hinge_z + radius * math.cos(target_angle)
+      )
+      self.model.site_size[self.id_site_target, 0] = self.target_radius
+    # collision-free random joint angles (finger.h:196-213)
+    for _ in range(1000):
+      self.randomize_limited_and_rotational_joints()
+      self._forward_no_actuation()
+      if self.data.ncon == 0:
+        break
+
+  def _tip_position(self) -> np.ndarray:
+    sd = self.data.sensordata
+    return np.asarray([
+      sd[self.s_tip + 0] - sd[self.s_spinner + 0],
+      sd[self.s_tip + 2] - sd[self.s_spinner + 2],
+    ])
+
+  def _target_position(self) -> np.ndarray:
+    sd = self.data.sensordata
+    return np.asarray([
+      sd[self.s_target + 0] - sd[self.s_spinner + 0],
+      sd[self.s_target + 2] - sd[self.s_spinner + 2],
+    ])
+
+  def _dist_to_target(self) -> float:
+    d = self._target_position() - self._tip_position()
+    return float(
+      np.linalg.norm(d) - self.model.site_size[self.id_site_target, 0]
+    )
+
+  def task_get_reward(self) -> float:
+    if self.is_spin:
+      return float(
+        self.data.sensordata[self.s_hinge_velocity] <= -self._SPIN_VELOCITY
+      )
+    return float(self._dist_to_target() <= 0)
+
+  def task_observation(self) -> Dict[str, np.ndarray]:
+    sd = self.data.sensordata
+    tip = self._tip_position()
+    return {
+      "position": np.asarray(
+        [sd[self.s_proximal], sd[self.s_distal], tip[0], tip[1]]
+      ),
+      "velocity": np.asarray([
+        sd[self.s_proximal_velocity], sd[self.s_distal_velocity],
+        sd[self.s_hinge_velocity],
+      ]),
+      "touch": np.log1p(
+        np.asarray([sd[self.s_touchtop], sd[self.s_touchbottom]])
+      ),
+      "target_position": self._target_position(),
+      "dist_to_target": np.float64(self._dist_to_target()),
+    }
+
+
+class DmcSwimmerEnv(DmcEnv):
+  """dmc swimmer swimmer6/swimmer15 (``envpool/mujoco/dmc/swimmer.h``)."""
+
+  name = "DmcSwimmer"
+  model_xml = staticmethod(assets.swimmer_xml)
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {"frame_skip": 15, "task_name": "swimmer6"}
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    task = str(cfg.task_name)
+    n = {"swimmer6": 6, "swimmer15": 15}.get(task)
+    if n is None:
+      raise RuntimeError(f"Unknown task_name {task} for dmc swimmer.")
+    return {
+      "obs:joints": ArraySpec(np.float64, (n - 1,)),
+      "obs:to_target": ArraySpec(np.float64, (2,)),
+      "obs:body_velocities": ArraySpec(np.float64, (3 * n,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    n = {"swimmer6": 6, "swimmer15": 15}.get(str(cfg.task_name), 6)
+    return {"action": ArraySpec(np.float64, (-1, n - 1), -1.0, 1.0)}
+
+  def __init__(self, cfg: Any, env_id: int) -> None:
+    super().__init__(cfg, env_id)
+    self.n_bodies = {"swimmer6": 6, "swimmer15": 15}[self.task_name]
+    mujoco = self._mujoco
+    self.id_nose = self.geom_id("nose")
+    self.id_head_geom = self.geom_id("head_geom")
+    self.id_target = self.geom_id("target")
+    self.id_light = mujoco.mj_name2id(
+      self.model, mujoco.mjtObj.mjOBJ_LIGHT, "target_light"
+    )
+    self.vel_sensors = [self.sensor_id("velocimeter_head")] + [
+      self.sensor_id(f"velocimeter_{i}") for i in range(self.n_bodies - 1)
+    ]
+    self.gyro_sensors = [self.sensor_id("gyro_head")] + [
+      self.sensor_id(f"gyro_{i}") for i in range(self.n_bodies - 1)
+    ]
+
+  def task_initialize_episode(self) -> None:
+    # swimmer.h: target in a 2x2 box (or 0.3 close-in with prob 0.2)
+    self.randomize_limited_and_rotational_joints()
+    target_box = 0.3 if self.gen.uniform(0, 1) < 0.2 else 2.0
+    xpos = self.gen.uniform(-target_box, target_box)
+    ypos = self.gen.uniform(-target_box, target_box)
+    self.model.geom_pos[self.id_target, 0] = xpos
+    self.model.geom_pos[self.id_target, 1] = ypos
+    self.model.light_pos[self.id_light, 0] = xpos
+    self.model.light_pos[self.id_light, 1] = ypos
+
+  def _nose_to_target(self) -> np.ndarray:
+    d = (
+      self.data.geom_xpos[self.id_target]
+      - self.data.geom_xpos[self.id_nose]
+    )
+    xmat = self.data.geom_xmat[self.id_head_geom].reshape(3, 3)
+    return (xmat.T @ d)[:2]
+
+  def task_get_reward(self) -> float:
+    target_size = float(self.model.geom_size[self.id_target, 0])
+    d = float(np.linalg.norm(self._nose_to_target()))
+    return tolerance(
+      d, 0.0, target_size, 5 * target_size, 0.1, LONG_TAIL
+    )
+
+  def task_observation(self) -> Dict[str, np.ndarray]:
+    sd = self.data.sensordata
+    vels = []
+    for v, g in zip(self.vel_sensors, self.gyro_sensors):
+      vels += [sd[v + 0], sd[v + 1], sd[g + 2]]
+    return {
+      "joints": np.copy(self.data.qpos[3:]),
+      "to_target": self._nose_to_target(),
+      "body_velocities": np.asarray(vels),
     }

@@ -62,6 +62,11 @@ dmc_mujoco_envs = [
   ("cartpole", "three_poles", 1000),
   ("cartpole", "two_poles", 1000),
   ("cheetah", "run", 1000),
+  ("finger", "spin", 1000),
+  ("finger", "turn_easy", 1000),
+  ("finger", "turn_hard", 1000),
+  ("swimmer", "swimmer6", 1000),
+  ("swimmer", "swimmer15", 1000),
   ("pendulum", "swingup", 1000),
   ("point_mass", "easy", 1000),
   ("point_mass", "hard", 1000),

@@ -42,6 +42,11 @@ DMC_TASKS = [
   ("WalkerStand-v1", 6),
   ("WalkerWalk-v1", 6),
   ("WalkerRun-v1", 6),
+  ("FingerSpin-v1", 2),
+  ("FingerTurnEasy-v1", 2),
+  ("FingerTurnHard-v1", 2),
+  ("SwimmerSwimmer6-v1", 5),
+  ("SwimmerSwimmer15-v1", 14),
 ]
 
 
