@@ -3,7 +3,15 @@
 from envpool_tpu.core.envpool_api import py_env
 
 from .bipedal_walker import BipedalWalkerEnv, BipedalWalkerHardcoreEnv
+from .car_racing import CarRacingEnv
 from .lunar_lander import LunarLanderContinuousEnv, LunarLanderEnv
+
+(
+  CarRacingEnvSpec,
+  CarRacingDMEnvPool,
+  CarRacingGymEnvPool,
+  CarRacingGymnasiumEnvPool,
+) = py_env(CarRacingEnv)
 
 (
   BipedalWalkerEnvSpec,
@@ -34,6 +42,11 @@ from .lunar_lander import LunarLanderContinuousEnv, LunarLanderEnv
 ) = py_env(LunarLanderContinuousEnv)
 
 __all__ = [
+  "CarRacingEnv",
+  "CarRacingEnvSpec",
+  "CarRacingDMEnvPool",
+  "CarRacingGymEnvPool",
+  "CarRacingGymnasiumEnvPool",
   "BipedalWalkerEnv",
   "BipedalWalkerHardcoreEnv",
   "BipedalWalkerEnvSpec",

@@ -1,0 +1,456 @@
+"""CarRacing-v2 — JAX rewrite of the Box2D top-down racer.
+
+Parity targets: ``envpool/box2d/car_racing_env.cc`` + ``car_dynamics.cc``
+(gym's car_racing.py over Box2D + OpenCV). What is reproduced exactly:
+
+- car dynamics per wheel: steering joint chase at min(50|d|, 3) rad/s with
+  +-0.4 limits, engine power / wheel moment of inertia / brake semantics,
+  the 205000*SIZE^2 slip force with the friction-circle clamp, grass
+  friction 0.6 vs road 1.0 (``car_dynamics.cc:127-215``);
+- gas smoothing (+0.1 max per step, rear wheels), brake, steer sign
+  (``car_dynamics.cc:108-125``, ``car_racing_env.cc:372-376``);
+- reward: -0.1 per frame, +1000/N per newly visited tile, -100 on leaving
+  the +-playfield, episode end on full visitation or new lap past
+  lap_complete_percent (``car_racing_env.cc:60-80, 385-410``);
+- obs: 96x96x3 uint8 with the same world-to-screen transform (zoom
+  animation over the first second, car-centered, rotation by -hull angle,
+  window 1000x800 squashed to 96x96), road/border/grass-checker colors,
+  hull/wheel sprites, and the bottom indicator bar (speed, 4x wheel
+  omega, steer, angular velocity) (``car_racing_env.cc:440-592``).
+
+TPU design: tracks are a host-generated bank (``car_track.py``) resident
+in HBM; per-step rendering is one affine gather from the track's baked
+bitmap plus analytic car/indicator overlays; wheel-tile containment (for
+friction + visitation) is a vectorized point-in-quad over the padded tile
+array. Omitted vs the reference render: skid-mark particles and the
+printed score digits (cv::putText) — documented deviations that don't
+affect the physics or reward.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from envpool_tpu.core.env import FuncEnv
+from envpool_tpu.core.spec import ArraySpec
+
+from . import car_track
+from .car_track import BITMAP_RES, PALETTE, PLAYFIELD, SCALE
+
+FPS = 50.0
+DT = 1.0 / FPS
+SIZE = 0.02
+ENGINE_POWER = 1e8 * SIZE * SIZE
+WHEEL_MOI = 4000 * SIZE * SIZE
+FRICTION_LIMIT = 1e6 * SIZE * SIZE
+WHEEL_R = 27.0
+WHEEL_W = 14.0
+BRAKE_FORCE = 15.0
+ZOOM = 2.7
+WINDOW_W, WINDOW_H = 1000.0, 800.0
+STATE_W = STATE_H = 96
+
+_WHEEL_POS = np.asarray(
+  [[-55, 80], [55, 80], [-55, -82], [55, -82]], np.float64
+) * SIZE
+_HULL_POLYS = [
+  np.asarray([[-60, 130], [60, 130], [60, 110], [-60, 110]], np.float64)
+  * SIZE,
+  np.asarray([[-15, 120], [15, 120], [20, 20], [-20, 20]], np.float64)
+  * SIZE,
+  np.asarray(
+    [[25, 20], [50, -10], [50, -40], [20, -90], [-20, -90], [-50, -40],
+     [-50, -10], [-25, 20]], np.float64
+  ) * SIZE,
+  np.asarray([[-50, -120], [50, -120], [50, -90], [-50, -90]], np.float64)
+  * SIZE,
+]
+
+
+def _poly_mass(poly, density):
+  area = cx = cy = inertia = 0.0
+  n = len(poly)
+  for i in range(n):
+    x0, y0 = poly[i]
+    x1, y1 = poly[(i + 1) % n]
+    cr = x0 * y1 - x1 * y0
+    area += cr / 2
+    cx += (x0 + x1) * cr / 6
+    cy += (y0 + y1) * cr / 6
+    inertia += cr * (x0 * x0 + x0 * x1 + x1 * x1
+                     + y0 * y0 + y0 * y1 + y1 * y1) / 12
+  if area < 0:
+    area, cx, cy, inertia = -area, -cx, -cy, -inertia
+  return density * area, density * inertia, np.asarray([cx, cy]) / max(area, 1e-12)
+
+
+_HM = sum(_poly_mass(p, 1.0)[0] for p in _HULL_POLYS)
+_WHEEL_M = 0.1 * (2 * WHEEL_W * SIZE) * (2 * WHEEL_R * SIZE)
+CAR_MASS = _HM + 4 * _WHEEL_M
+CAR_I = sum(_poly_mass(p, 1.0)[1] for p in _HULL_POLYS) + sum(
+  _WHEEL_M * float(np.sum(w * w)) for w in _WHEEL_POS
+)
+
+_TMAX = 460
+
+
+@functools.lru_cache(maxsize=8)
+def _bank(seed: int, n_tracks: int):
+  return car_track.generate_bank(seed, n_tracks, _TMAX)
+
+
+def _rot(a):
+  c, s = jnp.cos(a), jnp.sin(a)
+  return jnp.asarray([[c, -s], [s, c]])
+
+
+def _point_in_quads(p: jax.Array, quads: jax.Array) -> jax.Array:
+  """p [2] against quads [T, 4, 2] (CCW or CW) -> [T] bool."""
+  a = quads
+  b = jnp.roll(quads, -1, axis=1)
+  cross = (
+    (b[..., 0] - a[..., 0]) * (p[1] - a[..., 1])
+    - (b[..., 1] - a[..., 1]) * (p[0] - a[..., 0])
+  )
+  return jnp.all(cross <= 0, axis=1) | jnp.all(cross >= 0, axis=1)
+
+
+class CarRacingEnv(FuncEnv):
+  """CarRacing-v2."""
+
+  name = "CarRacing"
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {
+      "reward_threshold": 900.0,
+      "lap_complete_percent": 0.95,
+      "n_tracks": 8,   # track-bank size (TPU extension)
+    }
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {
+      "obs": ArraySpec(np.uint8, (96, 96, 3), 0, 255),
+      "info:tile_visited_count": ArraySpec(np.int32, (-1,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {
+      "action": ArraySpec(
+        np.float32, (-1, 3), [-1.0, 0.0, 0.0], [1.0, 1.0, 1.0]
+      )
+    }
+
+  # ------------------------------------------------------------------ hooks
+
+  @classmethod
+  def reset(cls, cfg: Any, state: Any, key: jax.Array) -> Tuple[Any, Any, Dict]:
+    tiles, centers, n_tiles, bitmaps, init = _bank(
+      int(cfg.seed), int(cfg.n_tracks)
+    )
+    track_id = jax.random.randint(key, (), 0, int(cfg.n_tracks))
+    init_j = jnp.asarray(init)[track_id]
+    st = {
+      "track_id": track_id,
+      "pos": init_j[1:3],
+      "vel": jnp.zeros(2, jnp.float32),
+      "angle": init_j[0],
+      "omega": jnp.float32(0.0),
+      "wheel_omega": jnp.zeros(4, jnp.float32),
+      "joint_angle": jnp.zeros(2, jnp.float32),   # front steering joints
+      "gas": jnp.float32(0.0),
+      "brake": jnp.float32(0.0),
+      "steer": jnp.float32(0.0),
+      "phase": jnp.zeros(4, jnp.float32),
+      "visited": jnp.zeros(_TMAX, jnp.bool_),
+      "visited_count": jnp.int32(0),
+      "reward_acc": jnp.float32(0.0),
+      "prev_reward": jnp.float32(0.0),
+      "new_lap": jnp.bool_(False),
+      "t": jnp.float32(0.0),
+    }
+    st, obs, _, _, info = cls._step_impl(cfg, st, None)
+    return st, obs, info
+
+  @classmethod
+  def step(
+    cls, cfg: Any, state: Any, action: jax.Array, key: jax.Array
+  ) -> Tuple[Any, Any, jax.Array, jax.Array, Dict]:
+    del key
+    st, obs, reward, term, info = cls._step_impl(
+      cfg, state, action.reshape(3)
+    )
+    return st, obs, reward, term, info
+
+  # ------------------------------------------------------------------- core
+
+  @classmethod
+  def _step_impl(cls, cfg: Any, st: Any, action):
+    tiles_b, centers_b, n_tiles_b, bitmaps_b, _ = _bank(
+      int(cfg.seed), int(cfg.n_tracks)
+    )
+    tiles = jnp.asarray(tiles_b)[st["track_id"]]
+    n_tiles = jnp.asarray(n_tiles_b)[st["track_id"]]
+    bitmap = jnp.asarray(bitmaps_b)[st["track_id"]]
+
+    is_action = action is not None
+    gas, brake, steer = st["gas"], st["brake"], st["steer"]
+    if is_action:
+      steer = -jnp.clip(action[0], -1.0, 1.0)
+      # gas smoothing: += min(g - gas, 0.1) (car_dynamics.cc:108-114)
+      g = jnp.clip(action[1], 0.0, 1.0)
+      gas = gas + jnp.minimum(g - gas, 0.1)
+      brake = jnp.clip(action[2], 0.0, 1.0)
+
+    pos, vel = st["pos"], st["vel"]
+    angle, omega = st["angle"], st["omega"]
+    wheel_omega = st["wheel_omega"]
+    joint_angle = st["joint_angle"]
+    phase = st["phase"]
+
+    # steering joints chase the target (car_dynamics.cc:128-131)
+    diff = steer - joint_angle
+    jspeed = jnp.sign(diff) * jnp.minimum(50.0 * jnp.abs(diff), 3.0)
+    joint_angle = jnp.clip(joint_angle + jspeed * DT, -0.4, 0.4)
+
+    rot_h = _rot(angle)
+    wheel_pos_local = jnp.asarray(_WHEEL_POS, jnp.float32)
+    wheel_world = pos[None, :] + wheel_pos_local @ rot_h.T      # [4, 2]
+    wheel_angle = angle + jnp.concatenate(
+      [joint_angle, jnp.zeros(2, jnp.float32)]
+    )
+
+    # which tile is each wheel on? (friction + visitation)
+    on_tile = jax.vmap(
+      lambda p: _point_in_quads(p, tiles)
+    )(wheel_world)                                              # [4, T]
+    valid = jnp.arange(_TMAX) < n_tiles
+    on_tile = on_tile & valid[None, :]
+    on_road = jnp.any(on_tile, axis=1)                          # [4]
+    friction_limit = jnp.where(
+      on_road, FRICTION_LIMIT, FRICTION_LIMIT * 0.6
+    )
+
+    # visitation reward (FrictionDetector, car_racing_env.cc:64-79)
+    touched = jnp.any(on_tile, axis=0)                          # [T]
+    newly = touched & ~st["visited"]
+    visited = st["visited"] | touched
+    n_new = jnp.sum(newly).astype(jnp.int32)
+    visited_count = st["visited_count"] + n_new
+    reward_acc = st["reward_acc"] + 1000.0 * n_new.astype(jnp.float32) / (
+      n_tiles.astype(jnp.float32)
+    )
+    new_lap = st["new_lap"] | (
+      newly[0]
+      & (visited_count.astype(jnp.float32)
+         > n_tiles.astype(jnp.float32) * float(cfg.lap_complete_percent))
+    )
+
+    # per-wheel forces (car_dynamics.cc:133-215)
+    forw = jnp.stack(
+      [-jnp.sin(wheel_angle), jnp.cos(wheel_angle)], axis=-1
+    )
+    side = jnp.stack(
+      [jnp.cos(wheel_angle), jnp.sin(wheel_angle)], axis=-1
+    )
+    r = wheel_world - pos[None, :]
+    v_wheel = vel[None, :] + omega * jnp.stack(
+      [-r[:, 1], r[:, 0]], axis=-1
+    )
+    vf = jnp.sum(forw * v_wheel, axis=-1)
+    vs = jnp.sum(side * v_wheel, axis=-1)
+
+    gas_w = jnp.asarray([0.0, 0.0, 1.0, 1.0]) * gas
+    wheel_omega = wheel_omega + (
+      DT * ENGINE_POWER * gas_w / WHEEL_MOI / (jnp.abs(wheel_omega) + 5.0)
+    )
+    # brake (car_dynamics.cc:155-165)
+    bval = jnp.minimum(BRAKE_FORCE * brake, jnp.abs(wheel_omega))
+    wheel_omega = jnp.where(
+      brake >= 0.9, 0.0, wheel_omega - jnp.sign(wheel_omega) * bval
+    )
+    phase = phase + wheel_omega * DT
+
+    vr = wheel_omega * (WHEEL_R * SIZE)
+    f_force = (-vf + vr) * (205000 * SIZE * SIZE)
+    p_force = -vs * (205000 * SIZE * SIZE)
+    force = jnp.sqrt(f_force**2 + p_force**2)
+    scale_down = jnp.where(
+      force > friction_limit, friction_limit / (force + 1e-9), 1.0
+    )
+    f_force = f_force * scale_down
+    p_force = p_force * scale_down
+    wheel_omega = wheel_omega - (
+      DT * f_force * (WHEEL_R * SIZE) / WHEEL_MOI
+    )
+
+    f_vec = p_force[:, None] * side + f_force[:, None] * forw   # [4, 2]
+    total_f = jnp.sum(f_vec, axis=0)
+    total_tau = jnp.sum(r[:, 0] * f_vec[:, 1] - r[:, 1] * f_vec[:, 0])
+
+    vel = vel + total_f / CAR_MASS * DT
+    omega = omega + total_tau / CAR_I * DT
+    pos = pos + vel * DT
+    angle = angle + omega * DT
+    t = st["t"] + DT
+
+    # reward / termination (car_racing_env.cc:385-410)
+    if is_action:
+      reward_acc = reward_acc - 0.1
+      step_reward = reward_acc - st["prev_reward"]
+      prev_reward = reward_acc
+      finished = (visited_count >= n_tiles) | new_lap
+      out = (jnp.abs(pos[0]) > PLAYFIELD) | (jnp.abs(pos[1]) > PLAYFIELD)
+      step_reward = jnp.where(out, -100.0, step_reward)
+      term = finished | out
+    else:
+      step_reward = jnp.float32(0.0)
+      prev_reward = st["prev_reward"]
+      term = jnp.bool_(False)
+
+    new_st = {
+      "track_id": st["track_id"], "pos": pos, "vel": vel, "angle": angle,
+      "omega": omega, "wheel_omega": wheel_omega,
+      "joint_angle": joint_angle, "gas": gas, "brake": brake,
+      "steer": steer, "phase": phase, "visited": visited,
+      "visited_count": visited_count, "reward_acc": reward_acc,
+      "prev_reward": prev_reward, "new_lap": new_lap, "t": t,
+    }
+    obs = cls._render(
+      bitmap, pos, vel, angle, omega, wheel_pos_local, joint_angle,
+      wheel_omega, t,
+    )
+    info = {"tile_visited_count": visited_count}
+    return new_st, obs, step_reward.astype(jnp.float32), term, info
+
+  # ------------------------------------------------------------------ render
+
+  @staticmethod
+  def _render(
+    bitmap, pos, vel, angle, omega, wheel_pos_local, joint_angle,
+    wheel_omega, t,
+  ) -> jax.Array:
+    """96x96x3 uint8 state-pixels view (car_racing_env.cc:561-592)."""
+    view_angle = -angle
+    zoom = (
+      0.1 * SCALE * jnp.maximum(1.0 - t, 0.0)
+      + ZOOM * SCALE * jnp.minimum(t, 1.0)
+    )
+    scroll = -pos * zoom
+    rot_v = _rot(view_angle)
+    trans = rot_v @ scroll + jnp.asarray([WINDOW_W / 2.0, WINDOW_H / 4.0])
+
+    # pixel grid -> pre-flip window coords -> world coords
+    jj, ii = jnp.meshgrid(jnp.arange(STATE_W), jnp.arange(STATE_H))
+    x_s = (jj + 0.5) * (WINDOW_W / STATE_W)
+    y_s = WINDOW_H - (ii + 0.5) * (WINDOW_H / STATE_H)  # undo cv::flip
+    sxy = jnp.stack([x_s - trans[0], y_s - trans[1]], axis=-1) / zoom
+    world = sxy @ rot_v  # R(view_angle)^T applied row-wise
+
+    # background: sample the baked track bitmap
+    scale = 2 * PLAYFIELD / BITMAP_RES
+    bx = jnp.clip(
+      ((world[..., 0] + PLAYFIELD) / scale).astype(jnp.int32), 0,
+      BITMAP_RES - 1,
+    )
+    by = jnp.clip(
+      ((world[..., 1] + PLAYFIELD) / scale).astype(jnp.int32), 0,
+      BITMAP_RES - 1,
+    )
+    color_idx = bitmap[by, bx]
+    img = jnp.asarray(PALETTE)[color_idx]                      # [H, W, 3]
+
+    # car overlay: world -> car frame
+    rel = world - pos[None, None, :]
+    rot_h = _rot(angle)
+    car_xy = rel @ rot_h  # R(angle)^T rows
+
+    def in_poly(points, poly):
+      a = jnp.asarray(poly, jnp.float32)
+      b = jnp.roll(a, -1, axis=0)
+      cross = (
+        (b[:, 0] - a[:, 0])[None, None, :]
+        * (points[..., 1:2] - a[:, 1][None, None, :])
+        - (b[:, 1] - a[:, 1])[None, None, :]
+        * (points[..., 0:1] - a[:, 0][None, None, :])
+      )
+      return jnp.all(cross <= 0, axis=-1) | jnp.all(cross >= 0, axis=-1)
+
+    in_hull = jnp.zeros(car_xy.shape[:2], jnp.bool_)
+    for poly in _HULL_POLYS:
+      in_hull = in_hull | in_poly(car_xy, poly)
+
+    wheel_angles = jnp.concatenate(
+      [joint_angle, jnp.zeros(2, jnp.float32)]
+    )
+    in_wheel = jnp.zeros(car_xy.shape[:2], jnp.bool_)
+    for w in range(4):
+      wc = jnp.asarray(wheel_pos_local[w], jnp.float32)
+      rel_w = car_xy - wc[None, None, :]
+      rw = _rot(wheel_angles[w])
+      wxy = rel_w @ rw
+      inside = (
+        (jnp.abs(wxy[..., 0]) <= WHEEL_W * SIZE)
+        & (jnp.abs(wxy[..., 1]) <= WHEEL_R * SIZE)
+      )
+      in_wheel = in_wheel | inside
+
+    img = jnp.where(
+      in_wheel[..., None], jnp.asarray([0, 0, 0], jnp.uint8),
+      jnp.where(
+        in_hull[..., None], jnp.asarray([204, 0, 0], jnp.uint8), img
+      ),
+    )
+
+    # indicator bar (car_racing_env.cc:491-560): bottom 5h rows black,
+    # then value bars. h = H/40, s = W/40 in window units.
+    h = WINDOW_H / 40.0
+    s = WINDOW_W / 40.0
+    y_png = (ii + 0.5) * (WINDOW_H / STATE_H)   # post-flip window row
+    x_png = (jj + 0.5) * (WINDOW_W / STATE_W)
+    img = jnp.where(
+      (y_png > WINDOW_H - 5 * h)[..., None],
+      jnp.asarray([0, 0, 0], jnp.uint8), img,
+    )
+
+    true_speed = jnp.sqrt(jnp.sum(vel * vel))
+
+    def vert_bar(img, place, val, color):
+      y_top = WINDOW_H - (h + h * val)
+      inside = (
+        (x_png >= place * s) & (x_png < (place + 1) * s)
+        & (y_png >= jnp.minimum(y_top, WINDOW_H - h))
+        & (y_png < jnp.maximum(y_top, WINDOW_H - h))
+      ) & (jnp.abs(val) > 1e-4)
+      return jnp.where(
+        inside[..., None], jnp.asarray(color, jnp.uint8), img
+      )
+
+    def horiz_bar(img, place, val, color):
+      x_from = place * s
+      x_to = (place + val) * s
+      inside = (
+        (y_png >= WINDOW_H - 4 * h) & (y_png < WINDOW_H - 2 * h)
+        & (x_png >= jnp.minimum(x_from, x_to))
+        & (x_png < jnp.maximum(x_from, x_to))
+      ) & (jnp.abs(val) > 1e-4)
+      return jnp.where(
+        inside[..., None], jnp.asarray(color, jnp.uint8), img
+      )
+
+    img = vert_bar(img, 5, 0.02 * true_speed, [255, 255, 255])
+    img = vert_bar(img, 7, 0.01 * wheel_omega[0], [0, 0, 255])
+    img = vert_bar(img, 8, 0.01 * wheel_omega[1], [0, 0, 255])
+    img = vert_bar(img, 9, 0.01 * wheel_omega[2], [51, 0, 255])
+    img = vert_bar(img, 10, 0.01 * wheel_omega[3], [51, 0, 255])
+    img = horiz_bar(img, 20, -10.0 * joint_angle[0], [0, 255, 0])
+    img = horiz_bar(img, 30, -0.8 * omega, [255, 0, 0])
+    return img.astype(jnp.uint8)

@@ -35,3 +35,13 @@ for _task, _cls in [
     gymnasium_cls=f"{_cls}GymnasiumEnvPool",
     max_episode_steps=1600 if _cls == "BipedalWalker" else 2000,
   )
+
+register(
+  task_id="CarRacing-v2",
+  import_path="envpool_tpu.envs.box2d",
+  spec_cls="CarRacingEnvSpec",
+  dm_cls="CarRacingDMEnvPool",
+  gym_cls="CarRacingGymEnvPool",
+  gymnasium_cls="CarRacingGymnasiumEnvPool",
+  max_episode_steps=1000,
+)
