@@ -93,6 +93,16 @@ class FuncEnv:
   #: so ``IsDone()`` is already false at the next scheduled step.
   env_resets: bool = False
 
+  #: static-shape multiplayer support (SURVEY P6). When True and the pool
+  #: is built with max_num_players > 1: per-player spec fields (leading
+  #: -1 dims) are padded to max_num_players, the env keeps the live count
+  #: in ``state["num_players"]``, ``step`` receives padded per-player
+  #: action arrays and returns a padded per-player reward vector. The
+  #: pool masks rewards/discounts and the host boundary compacts padding
+  #: (the reference instead packs players dynamically,
+  #: ``envpool/core/env.h:124-159``, ``state_buffer.h:87-93``).
+  multi_player: bool = False
+
   @staticmethod
   def default_config() -> Dict[str, Any]:
     return {}

@@ -89,10 +89,24 @@ class TpuEnvPool:
     self._env_cls: FuncEnv = spec._env_cls
     self._num_envs = int(cfg.num_envs)
     self._batch_size = int(cfg.batch_size) or self._num_envs
-    if int(cfg.max_num_players) != 1:
-      raise NotImplementedError(
-        "multi-player envs are not supported yet in envpool_tpu"
-      )
+    self._max_players = int(cfg.max_num_players)
+    self._multi_player = self._max_players > 1
+    if self._multi_player:
+      if not getattr(self._env_cls, "multi_player", False):
+        raise ValueError(
+          f"{self._env_cls.name} does not support max_num_players > 1"
+        )
+      if getattr(self._env_cls, "env_resets", False):
+        raise NotImplementedError(
+          "env-side auto-reset + multi-player is not supported"
+        )
+      if self._batch_size != self._num_envs:
+        # the reference supports async multiplayer through its dynamic
+        # player offsets (state_buffer.h:87-93); the static-shape TPU
+        # engine supports multiplayer in sync lockstep only
+        raise NotImplementedError(
+          "multi-player envs require batch_size == num_envs"
+        )
     self._state_keys: List[str] = spec._state_keys
     self._env_state_keys = [
       k for k in self._state_keys
@@ -192,7 +206,11 @@ class TpuEnvPool:
         term = jnp.where(need_reset, False, st_term.astype(jnp.bool_))
         done = jnp.where(need_reset, False, term | (elapsed >= cap))
         trunc = done & (elapsed >= cap)
-        reward = jnp.where(need_reset, 0.0, st_rew).astype(jnp.float32)
+        # st_rew is [n] single-player or [n, P] multiplayer
+        nr = need_reset.reshape(
+          need_reset.shape + (1,) * (st_rew.ndim - 1)
+        )
+        reward = jnp.where(nr, 0.0, st_rew).astype(jnp.float32)
         step_type = jnp.where(
           need_reset, 0, jnp.where(done, 2, 1)
         ).astype(jnp.int32)
@@ -207,11 +225,28 @@ class TpuEnvPool:
         done2 = jnp.where(mask, done_carry, ps.done)
       else:
         elapsed2, done2 = elapsed, done_carry
+
+      if self._multi_player:
+        # static-shape multiplayer (SURVEY P6): every per-player field is
+        # padded to max_num_players; the env tracks the live player count
+        # in state["num_players"], the pool masks rewards/discounts, and
+        # the host boundary compacts padded rows away (the reference packs
+        # players dynamically instead, envpool/core/state_buffer.h:87-93).
+        p = self._max_players
+        npl = env2["num_players"]
+        pmask = jnp.arange(p)[None, :] < npl[:, None]
+        rew_pp = jnp.where(need_reset[:, None], 0.0, st_rew)
+        reward = jnp.where(pmask, rew_pp, 0.0).astype(jnp.float32)
+        discount = (pmask & (~done)[:, None]).astype(jnp.float32)
+        players_env_id = jnp.broadcast_to(env_ids[:, None], (n, p))
+      else:
+        npl = None
+        players_env_id = env_ids
       new_ps = PoolState(env=env2, rng=rng, elapsed=elapsed2, done=done2)
 
       out: Dict[str, jax.Array] = {
         "info:env_id": env_ids,
-        "info:players.env_id": env_ids,
+        "info:players.env_id": players_env_id,
         "elapsed_step": elapsed,
         "done": done,
         "reward": reward,
@@ -228,11 +263,20 @@ class TpuEnvPool:
           out[k] = info[k[5:]]
         else:  # bare env-specific top-level key
           out[k] = info[k]
-      return new_ps, [out[k] for k in self._state_keys]
+      outs = [out[k] for k in self._state_keys]
+      if self._multi_player:
+        outs.append(npl)  # live player counts, for host-side compaction
+      return new_ps, outs
+
+    def action_field_shape(spec) -> tuple:
+      # per-player action fields (leading -1) get the padded player axis
+      if self._multi_player and spec.shape and spec.shape[0] == -1:
+        return (self._max_players, *spec.static_shape)
+      return spec.static_shape
 
     zero_action = {
       k: jnp.zeros(
-        (n, *self._action_array_spec[k].static_shape),
+        (n, *action_field_shape(self._action_array_spec[k])),
         dtype=self._action_array_spec[k].dtype,
       )
       for k in self._env_action_keys
@@ -285,6 +329,8 @@ class TpuEnvPool:
     """
     adict = dict(zip(self._action_keys, action_list))
     env_id = np.asarray(adict["env_id"])
+    if self._multi_player:
+      adict = self._scatter_player_actions(adict)
     action_b = {k: jnp.asarray(adict[k]) for k in self._env_action_keys}
     if len(env_id) == self._num_envs and np.array_equal(
       env_id, np.arange(self._num_envs, dtype=env_id.dtype)
@@ -299,12 +345,61 @@ class TpuEnvPool:
       self._pending.append((env_id, outs))
     self._last_out = outs
 
+  def _scatter_player_actions(self, adict: Dict[str, Any]) -> Dict[str, Any]:
+    """[total_players, ...] per-player action rows -> [n, P, ...] padded.
+
+    Counterpart of ``Env::ParseAction``'s player gathering
+    (``envpool/core/env.h:124-159``), done once on the host instead of
+    per-env on worker threads. Rows for the same env fill consecutive
+    player slots in arrival order.
+    """
+    players = np.asarray(adict["players.env_id"], dtype=np.int64)
+    # slot of each row within its env (stable cumcount)
+    slots = np.zeros(len(players), dtype=np.int64)
+    counts: Dict[int, int] = {}
+    for i, e in enumerate(players):
+      c = counts.get(int(e), 0)
+      slots[i] = c
+      counts[int(e)] = c + 1
+    out = dict(adict)
+    for k in self._env_action_keys:
+      spec = self._action_array_spec[k]
+      if spec.shape and spec.shape[0] == -1:
+        rows = np.asarray(adict[k])
+        full = np.zeros(
+          (self._num_envs, self._max_players, *spec.static_shape),
+          dtype=spec.dtype,
+        )
+        full[players, slots] = rows
+        out[k] = full
+    return out
+
+  def _compact_players(self, outs: List[np.ndarray]) -> List[np.ndarray]:
+    """Drop padded player rows at the host boundary: [B, P, ...] fields
+    with a per-player spec become [total_players, ...]."""
+    *state_vals, npl = outs
+    npl = np.asarray(npl)
+    p = self._max_players
+    keep = (np.arange(p)[None, :] < npl[:, None]).ravel()
+    compacted = []
+    for val, spec in zip(state_vals, self._spec._state_spec):
+      if spec.shape and spec.shape[0] == -1:
+        val = np.asarray(val)
+        flat = val.reshape(val.shape[0] * p, *val.shape[2:])
+        compacted.append(flat[keep])
+      else:
+        compacted.append(val)
+    return compacted
+
   def _recv(self) -> List[np.ndarray]:
     """Pop the oldest pending batch and transfer it to host."""
     if not self._pending:
       raise RuntimeError("recv called with no pending send/reset")
     _, outs = self._pending.popleft()
-    return [np.asarray(o) for o in jax.device_get(outs)]
+    host = [np.asarray(o) for o in jax.device_get(outs)]
+    if self._multi_player:
+      host = self._compact_players(host)
+    return host
 
   def _reset(self, env_id: np.ndarray) -> None:
     """Enqueue a forced reset for the given env ids.
@@ -342,6 +437,9 @@ class TpuEnvPool:
       handle, states = recv(handle)
       handle, states = step(handle, action, env_id=None)
     """
+    if self._multi_player:
+      # same gate as the reference (envpool/core/py_envpool.h:220-238)
+      raise RuntimeError("xla() does not support multi-player envs")
     n = self._num_envs
     advance = self._advance_pure
     zero_action = self._zero_action

@@ -36,9 +36,10 @@ from envpool_tpu.core.spec import ArraySpec
 
 
 class DummyEnv(FuncEnv):
-  """Tutorial/dev-template env family."""
+  """Tutorial/dev-template env family (single- and multi-player)."""
 
   name = "Dummy"
+  multi_player = True
 
   @staticmethod
   def default_config() -> Dict[str, Any]:
@@ -47,33 +48,66 @@ class DummyEnv(FuncEnv):
 
   @staticmethod
   def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
-    # two obs fields and an info field, to exercise the dict-obs path
+    # two obs fields, a per-env info field, and a per-player info field
+    # (leading -1), to exercise both paths (cf. the reference dummy's
+    # players specs, dummy_envpool.h:77-84)
     return {
       "obs:raw": ArraySpec(np.int32, (2,)),
       "obs:clock": ArraySpec(np.float32, ()),
       "info:step_count": ArraySpec(np.int32, ()),
+      "info:players.id": ArraySpec(np.int32, (-1,), 0, 100),
     }
 
   @staticmethod
   def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
     return {"action": ArraySpec(np.int32, (-1,), 0, int(cfg.action_num) - 1)}
 
-  @staticmethod
-  def reset(cfg: Any, state: Any, key: jax.Array) -> Tuple[Any, Any, Dict]:
-    del state, key
-    st = {"count": jnp.int32(0), "last_action": jnp.int32(-1)}
-    return st, _obs(st), {"step_count": st["count"]}
+  @classmethod
+  def init(cls, cfg: Any, env_id: jax.Array, key: jax.Array) -> Any:
+    st, _, _ = cls.reset(cfg, {"env_id": env_id.astype(jnp.int32)}, key)
+    return st
 
-  @staticmethod
+  @classmethod
+  def reset(cls, cfg: Any, state: Any, key: jax.Array) -> Tuple[Any, Any, Dict]:
+    del key
+    env_id = state["env_id"] if isinstance(state, dict) else jnp.int32(0)
+    st = {
+      "env_id": env_id,
+      "count": jnp.int32(0),
+      "last_action": jnp.int32(-1),
+    }
+    p = int(cfg.max_num_players)
+    if p > 1:
+      # live player count varies per env, like the reference dummy
+      st["num_players"] = env_id % p + 1
+    return st, _obs(st), cls._info(cfg, st)
+
+  @classmethod
   def step(
-    cfg: Any, state: Any, action: jax.Array, key: jax.Array
+    cls, cfg: Any, state: Any, action: jax.Array, key: jax.Array
   ) -> Tuple[Any, Any, jax.Array, jax.Array, Dict]:
     del key
-    action = action.reshape(()).astype(jnp.int32)
-    st = {"count": state["count"] + 1, "last_action": action}
+    p = int(cfg.max_num_players)
+    if p > 1:
+      # padded per-player action [P]; reward echoes each player's action
+      action = action.reshape(p).astype(jnp.int32)
+      reward = action.astype(jnp.float32)
+      first = action[0]
+    else:
+      action = action.reshape(()).astype(jnp.int32)
+      reward = action.astype(jnp.float32)
+      first = action
+    st = dict(state, count=state["count"] + 1, last_action=first)
     term = st["count"] >= jnp.int32(cfg.state_num)
-    reward = action.astype(jnp.float32)
-    return st, _obs(st), reward, term, {"step_count": st["count"]}
+    return st, _obs(st), reward, term, cls._info(cfg, st)
+
+  @staticmethod
+  def _info(cfg: Any, st: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    p = int(cfg.max_num_players)
+    players_id = jnp.arange(max(p, 1), dtype=jnp.int32)
+    if p == 1:
+      players_id = players_id[0]
+    return {"step_count": st["count"], "players.id": players_id}
 
 
 def _obs(st: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
