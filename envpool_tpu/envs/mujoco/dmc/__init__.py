@@ -9,7 +9,9 @@ from .domains import (
   DmcCartpoleEnv,
   DmcCheetahEnv,
   DmcFingerEnv,
+  DmcFishEnv,
   DmcHopperEnv,
+  DmcHumanoidEnv,
   DmcPendulumEnv,
   DmcPointMassEnv,
   DmcReacherEnv,
@@ -21,7 +23,8 @@ __all__ = []
 
 for _env_cls in (
   DmcAcrobotEnv, DmcBallInCupEnv, DmcCartpoleEnv, DmcCheetahEnv,
-  DmcFingerEnv, DmcHopperEnv, DmcPendulumEnv, DmcPointMassEnv,
+  DmcFingerEnv, DmcFishEnv, DmcHopperEnv, DmcHumanoidEnv,
+  DmcPendulumEnv, DmcPointMassEnv,
   DmcReacherEnv, DmcSwimmerEnv, DmcWalkerEnv,
 ):
   _spec, _dm, _gym, _gymnasium = py_env(_env_cls, pool_base=HostEnvPool)

@@ -543,3 +543,219 @@ def swimmer_xml(task_name: str) -> str:
 {sensors}
   </sensor>
 </mujoco>"""
+
+FISH_XML = """
+<mujoco model="fish">
+  <option timestep="0.004" density="5000" viscosity="0.1" gravity="0 0 0"/>
+  <default>
+    <joint damping="0.02" limited="true"/>
+    <geom contype="0" conaffinity="0"/>
+  </default>
+  <worldbody>
+    <geom name="target" type="sphere" pos="0 0 0.15" size="0.04"
+          rgba="1 0 0 1"/>
+    <body name="torso" pos="0 0 0.15">
+      <joint name="root" type="free" limited="false" damping="0"/>
+      <geom name="torso_geom" type="ellipsoid" size="0.01 0.04 0.02"
+            mass="0.02"/>
+      <geom name="mouth" type="sphere" pos="0 0.045 0" size="0.005"
+            mass="0.001"/>
+      <site name="torso_site" pos="0 0 0" size="0.002"/>
+      <body name="tail" pos="0 -0.04 0">
+        <joint name="tail1" type="hinge" axis="0 0 1" range="-0.8 0.8"/>
+        <geom name="tail1_geom" type="ellipsoid" pos="0 -0.015 0"
+              size="0.005 0.015 0.015" mass="0.004"/>
+        <body name="tail_fin" pos="0 -0.03 0">
+          <joint name="tail_twist" type="hinge" axis="0 1 0"
+                 range="-0.8 0.8"/>
+          <joint name="tail2" type="hinge" axis="0 0 1" range="-0.8 0.8"/>
+          <geom name="tail2_geom" type="box" size="0.002 0.015 0.02"
+                mass="0.002"/>
+        </body>
+      </body>
+      <body name="fin_right" pos="-0.01 0 0">
+        <joint name="finright_roll" type="hinge" axis="0 1 0"
+               range="-1 1"/>
+        <joint name="finright_pitch" type="hinge" axis="1 0 0"
+               range="-1 1"/>
+        <geom name="finright_geom" type="box" pos="-0.01 0 0"
+              size="0.01 0.008 0.001" mass="0.001"/>
+      </body>
+      <body name="fin_left" pos="0.01 0 0">
+        <joint name="finleft_roll" type="hinge" axis="0 1 0"
+               range="-1 1"/>
+        <joint name="finleft_pitch" type="hinge" axis="1 0 0"
+               range="-1 1"/>
+        <geom name="finleft_geom" type="box" pos="0.01 0 0"
+              size="0.01 0.008 0.001" mass="0.001"/>
+      </body>
+    </body>
+  </worldbody>
+  <actuator>
+    <motor name="tail1" joint="tail1" gear="5e-4" ctrllimited="true"
+           ctrlrange="-1 1"/>
+    <motor name="tail_twist" joint="tail_twist" gear="5e-4"
+           ctrllimited="true" ctrlrange="-1 1"/>
+    <motor name="tail2" joint="tail2" gear="5e-4" ctrllimited="true"
+           ctrlrange="-1 1"/>
+    <motor name="finright_roll" joint="finright_roll" gear="5e-4"
+           ctrllimited="true" ctrlrange="-1 1"/>
+    <motor name="finleft_roll" joint="finleft_roll" gear="5e-4"
+           ctrllimited="true" ctrlrange="-1 1"/>
+  </actuator>
+  <sensor>
+    <velocimeter name="torso_vel" site="torso_site"/>
+    <gyro name="torso_gyro" site="torso_site"/>
+  </sensor>
+</mujoco>
+"""
+
+DMC_HUMANOID_XML = """
+<mujoco model="humanoid">
+  <option timestep="0.0025"/>
+  <default>
+    <joint damping="0.2" armature="0.02" limited="true"
+           solimplimit="0 0.99 0.01"/>
+    <geom condim="1" friction="0.7" solimp="0.9 0.99 0.003"
+          solref="0.015 1"/>
+    <motor ctrllimited="true" ctrlrange="-1 1"/>
+  </default>
+  <worldbody>
+    <geom name="floor" type="plane" pos="0 0 0" size="10 10 0.2"
+          condim="3"/>
+    <body name="torso" pos="0 0 1.5">
+      <joint name="root" type="free" limited="false" damping="0"
+             armature="0"/>
+      <geom name="torso_geom" type="capsule" fromto="0 -0.07 0 0 0.07 0"
+            size="0.07"/>
+      <geom name="upper_waist" type="capsule"
+            fromto="-0.01 -0.06 -0.12 -0.01 0.06 -0.12" size="0.06"/>
+      <body name="head" pos="0 0 0.19">
+        <geom name="head_geom" type="sphere" size="0.09"/>
+      </body>
+      <body name="lower_waist" pos="-0.01 0 -0.26">
+        <joint name="abdomen_z" type="hinge" axis="0 0 1"
+               range="-0.79 0.79" damping="5" stiffness="20"/>
+        <joint name="abdomen_y" type="hinge" axis="0 1 0"
+               range="-1.31 0.52" damping="5" stiffness="10"/>
+        <geom name="lower_waist_geom" type="capsule"
+              fromto="0 -0.06 0 0 0.06 0" size="0.06"/>
+        <body name="pelvis" pos="0 0 -0.165">
+          <joint name="abdomen_x" type="hinge" axis="1 0 0"
+                 range="-0.61 0.61" damping="5" stiffness="10"/>
+          <geom name="butt" type="capsule" fromto="-0.02 -0.07 0 -0.02 0.07 0"
+                size="0.09"/>
+          <body name="right_thigh" pos="0 -0.1 -0.04">
+            <joint name="right_hip_x" type="hinge" axis="1 0 0"
+                   range="-0.44 0.09" damping="5" stiffness="10"/>
+            <joint name="right_hip_z" type="hinge" axis="0 0 1"
+                   range="-1.05 0.61" damping="5" stiffness="10"/>
+            <joint name="right_hip_y" type="hinge" axis="0 1 0"
+                   range="-1.92 0.35" damping="5" stiffness="20"/>
+            <geom name="right_thigh_geom" type="capsule"
+                  fromto="0 0 0 0 0.01 -0.34" size="0.06"/>
+            <body name="right_shin" pos="0 0.01 -0.4">
+              <joint name="right_knee" type="hinge" axis="0 -1 0"
+                     range="-2.79 0.02"/>
+              <geom name="right_shin_geom" type="capsule"
+                    fromto="0 0 0 0 0 -0.3" size="0.049"/>
+              <body name="right_foot" pos="0 0 -0.39">
+                <joint name="right_ankle_y" type="hinge" axis="0 1 0"
+                       range="-0.87 0.87" stiffness="6"/>
+                <joint name="right_ankle_x" type="hinge" axis="1 0 0.5"
+                       range="-0.87 0.87" stiffness="3"/>
+                <geom name="right_foot_geom" type="box"
+                      size="0.075 0.05 0.02" pos="0.025 0 0"/>
+              </body>
+            </body>
+          </body>
+          <body name="left_thigh" pos="0 0.1 -0.04">
+            <joint name="left_hip_x" type="hinge" axis="-1 0 0"
+                   range="-0.44 0.09" damping="5" stiffness="10"/>
+            <joint name="left_hip_z" type="hinge" axis="0 0 -1"
+                   range="-1.05 0.61" damping="5" stiffness="10"/>
+            <joint name="left_hip_y" type="hinge" axis="0 1 0"
+                   range="-1.92 0.35" damping="5" stiffness="20"/>
+            <geom name="left_thigh_geom" type="capsule"
+                  fromto="0 0 0 0 -0.01 -0.34" size="0.06"/>
+            <body name="left_shin" pos="0 -0.01 -0.4">
+              <joint name="left_knee" type="hinge" axis="0 -1 0"
+                     range="-2.79 0.02"/>
+              <geom name="left_shin_geom" type="capsule"
+                    fromto="0 0 0 0 0 -0.3" size="0.049"/>
+              <body name="left_foot" pos="0 0 -0.39">
+                <joint name="left_ankle_y" type="hinge" axis="0 1 0"
+                       range="-0.87 0.87" stiffness="6"/>
+                <joint name="left_ankle_x" type="hinge" axis="-1 0 -0.5"
+                       range="-0.87 0.87" stiffness="3"/>
+                <geom name="left_foot_geom" type="box"
+                      size="0.075 0.05 0.02" pos="0.025 0 0"/>
+              </body>
+            </body>
+          </body>
+        </body>
+      </body>
+      <body name="right_upper_arm" pos="0 -0.17 0.06">
+        <joint name="right_shoulder1" type="hinge" axis="2 1 1"
+               range="-1.48 1.05"/>
+        <joint name="right_shoulder2" type="hinge" axis="0 -1 1"
+               range="-1.48 1.05"/>
+        <geom name="right_upper_arm_geom" type="capsule"
+              fromto="0 0 0 0.16 -0.16 -0.16" size="0.04"/>
+        <body name="right_lower_arm" pos="0.18 -0.18 -0.18">
+          <joint name="right_elbow" type="hinge" axis="0 -1 1"
+                 range="-1.57 1.1"/>
+          <geom name="right_lower_arm_geom" type="capsule"
+                fromto="0.01 0.01 0.01 0.17 0.17 0.17" size="0.031"/>
+          <body name="right_hand" pos="0.18 0.18 0.18">
+            <geom name="right_hand_geom" type="sphere" size="0.04"/>
+          </body>
+        </body>
+      </body>
+      <body name="left_upper_arm" pos="0 0.17 0.06">
+        <joint name="left_shoulder1" type="hinge" axis="2 -1 1"
+               range="-1.05 1.48"/>
+        <joint name="left_shoulder2" type="hinge" axis="0 1 1"
+               range="-1.05 1.48"/>
+        <geom name="left_upper_arm_geom" type="capsule"
+              fromto="0 0 0 0.16 0.16 -0.16" size="0.04"/>
+        <body name="left_lower_arm" pos="0.18 0.18 -0.18">
+          <joint name="left_elbow" type="hinge" axis="0 -1 -1"
+                 range="-1.57 1.1"/>
+          <geom name="left_lower_arm_geom" type="capsule"
+                fromto="0.01 -0.01 0.01 0.17 -0.17 0.17" size="0.031"/>
+          <body name="left_hand" pos="0.18 -0.18 0.18">
+            <geom name="left_hand_geom" type="sphere" size="0.04"/>
+          </body>
+        </body>
+      </body>
+    </body>
+  </worldbody>
+  <actuator>
+    <motor name="abdomen_z" joint="abdomen_z" gear="40"/>
+    <motor name="abdomen_y" joint="abdomen_y" gear="40"/>
+    <motor name="abdomen_x" joint="abdomen_x" gear="40"/>
+    <motor name="right_hip_x" joint="right_hip_x" gear="40"/>
+    <motor name="right_hip_z" joint="right_hip_z" gear="40"/>
+    <motor name="right_hip_y" joint="right_hip_y" gear="120"/>
+    <motor name="right_knee" joint="right_knee" gear="80"/>
+    <motor name="right_ankle_y" joint="right_ankle_y" gear="20"/>
+    <motor name="right_ankle_x" joint="right_ankle_x" gear="20"/>
+    <motor name="left_hip_x" joint="left_hip_x" gear="40"/>
+    <motor name="left_hip_z" joint="left_hip_z" gear="40"/>
+    <motor name="left_hip_y" joint="left_hip_y" gear="120"/>
+    <motor name="left_knee" joint="left_knee" gear="80"/>
+    <motor name="left_ankle_y" joint="left_ankle_y" gear="20"/>
+    <motor name="left_ankle_x" joint="left_ankle_x" gear="20"/>
+    <motor name="right_shoulder1" joint="right_shoulder1" gear="20"/>
+    <motor name="right_shoulder2" joint="right_shoulder2" gear="20"/>
+    <motor name="right_elbow" joint="right_elbow" gear="40"/>
+    <motor name="left_shoulder1" joint="left_shoulder1" gear="20"/>
+    <motor name="left_shoulder2" joint="left_shoulder2" gear="20"/>
+    <motor name="left_elbow" joint="left_elbow" gear="40"/>
+  </actuator>
+  <sensor>
+    <subtreelinvel name="torso_subtreelinvel" body="torso"/>
+  </sensor>
+</mujoco>
+"""

@@ -802,3 +802,203 @@ class DmcSwimmerEnv(DmcEnv):
       "to_target": self._nose_to_target(),
       "body_velocities": np.asarray(vels),
     }
+
+
+class DmcFishEnv(DmcEnv):
+  """dmc fish upright/swim (``envpool/mujoco/dmc/fish.h``)."""
+
+  name = "DmcFish"
+  model_xml = assets.FISH_XML
+  _JOINTS = (
+    "tail1", "tail_twist", "tail2", "finright_roll", "finright_pitch",
+    "finleft_roll", "finleft_pitch",
+  )
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {"frame_skip": 10, "task_name": "upright"}
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {
+      "obs:joint_angles": ArraySpec(np.float64, (7,)),
+      "obs:upright": ArraySpec(np.float64, ()),
+      "obs:velocity": ArraySpec(np.float64, (13,)),
+      "obs:target": ArraySpec(np.float64, (3,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float64, (-1, 5), -1.0, 1.0)}
+
+  def __init__(self, cfg: Any, env_id: int) -> None:
+    super().__init__(cfg, env_id)
+    if self.task_name not in ("upright", "swim"):
+      raise RuntimeError(f"Unknown task_name {self.task_name} for dmc fish.")
+    self.is_swim = self.task_name == "swim"
+    self.id_mouth = self.geom_id("mouth")
+    self.id_root = self.qpos_id("root")
+    self.id_torso = self.body_id("torso")
+    self.id_target = self.geom_id("target")
+    self.jq = [self.qpos_id(j) for j in self._JOINTS]
+    self.jv = [self.qvel_id(j) for j in self._JOINTS]
+
+  def task_initialize_episode(self) -> None:
+    quat = self.gen.normal(0, 1, 4)
+    self.data.qpos[self.id_root + 3:self.id_root + 7] = (
+      quat / np.linalg.norm(quat)
+    )
+    for jid in self.jq:
+      self.data.qpos[jid] = self.gen.uniform(-0.2, 0.2)
+    if self.is_swim:
+      self.model.geom_pos[self.id_target, 0] = self.gen.uniform(-0.4, 0.4)
+      self.model.geom_pos[self.id_target, 1] = self.gen.uniform(-0.4, 0.4)
+      self.model.geom_pos[self.id_target, 2] = self.gen.uniform(0.1, 0.3)
+    else:
+      self.model.geom_rgba[self.id_target, 3] = 0
+
+  def _upright(self) -> float:
+    return float(self.data.xmat[self.id_torso].reshape(3, 3)[2, 2])
+
+  def _mouth_to_target(self) -> np.ndarray:
+    d = (
+      self.data.geom_xpos[self.id_target]
+      - self.data.geom_xpos[self.id_mouth]
+    )
+    # in torso frame (the dm_control obs convention)
+    return self.data.xmat[self.id_torso].reshape(3, 3).T @ d
+
+  def task_get_reward(self) -> float:
+    if not self.is_swim:
+      return tolerance(self._upright(), 1.0, 1.0, 1.0)
+    radii = float(
+      self.model.geom_size[self.id_mouth, 0]
+      + self.model.geom_size[self.id_target, 0]
+    )
+    d = float(np.linalg.norm(self._mouth_to_target()))
+    in_target = tolerance(d, 0.0, radii, 2 * radii)
+    is_upright = 0.5 * (self._upright() + 1)
+    return float((7 * in_target + is_upright) / 8)
+
+  def task_observation(self) -> Dict[str, np.ndarray]:
+    return {
+      "joint_angles": np.asarray([self.data.qpos[j] for j in self.jq]),
+      "upright": np.float64(self._upright()),
+      "velocity": np.copy(self.data.qvel),
+      "target": (
+        self._mouth_to_target() if self.is_swim else np.zeros(3)
+      ),
+    }
+
+
+class DmcHumanoidEnv(DmcEnv):
+  """dmc humanoid stand/walk/run/run_pure_state
+  (``envpool/mujoco/dmc/humanoid.h``)."""
+
+  name = "DmcHumanoid"
+  model_xml = assets.DMC_HUMANOID_XML
+  _STAND_HEIGHT = 1.4
+  _SPEEDS = {
+    "stand": 0.0, "walk": 1.0, "run": 10.0, "run_pure_state": 10.0,
+  }
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {"frame_skip": 5, "task_name": "stand"}
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {
+      "obs:joint_angles": ArraySpec(np.float64, (21,)),
+      "obs:head_height": ArraySpec(np.float64, ()),
+      "obs:extremities": ArraySpec(np.float64, (12,)),
+      "obs:torso_vertical": ArraySpec(np.float64, (3,)),
+      "obs:com_velocity": ArraySpec(np.float64, (3,)),
+      "obs:position": ArraySpec(np.float64, (28,)),
+      "obs:velocity": ArraySpec(np.float64, (27,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float64, (-1, 21), -1.0, 1.0)}
+
+  def __init__(self, cfg: Any, env_id: int) -> None:
+    super().__init__(cfg, env_id)
+    if self.task_name not in self._SPEEDS:
+      raise RuntimeError(
+        f"Unknown task_name {self.task_name} for dmc humanoid."
+      )
+    self.move_speed = self._SPEEDS[self.task_name]
+    self.is_pure_state = self.task_name == "run_pure_state"
+    self.id_head = self.body_id("head")
+    self.id_torso = self.body_id("torso")
+    self.id_ext = [
+      self.body_id(b)
+      for b in ("left_hand", "left_foot", "right_hand", "right_foot")
+    ]
+    self.id_speed = self.sensor_id("torso_subtreelinvel")
+
+  def task_initialize_episode(self) -> None:
+    # collision-free random joint state (humanoid.h:98-110)
+    for _ in range(100):
+      self.randomize_limited_and_rotational_joints()
+      self._forward_no_actuation()
+      if self.data.ncon <= 0:
+        break
+
+  def _com_velocity(self) -> np.ndarray:
+    s = self.id_speed
+    return np.copy(self.data.sensordata[s:s + 3])
+
+  def task_get_reward(self) -> float:
+    head = float(self.data.xpos[self.id_head, 2])
+    standing = tolerance(
+      head, self._STAND_HEIGHT, _INF, self._STAND_HEIGHT / 4
+    )
+    upright_v = float(self.data.xmat[self.id_torso].reshape(3, 3)[2, 2])
+    upright = tolerance(upright_v, 0.9, _INF, 1.9, 0.0, LINEAR)
+    stand_reward = standing * upright
+    small_control = float(np.mean([
+      tolerance(c, 0.0, 0.0, 1.0, 0.0, QUADRATIC) for c in self.data.ctrl
+    ]))
+    small_control = (small_control + 4.0) / 5.0
+    comv = self._com_velocity()
+    if self.move_speed == 0:
+      dont_move = sum(
+        0.5 * tolerance(float(v), 0.0, 0.0, 2.0) for v in comv[:2]
+      )
+      return float(small_control * stand_reward * dont_move)
+    speed = float(np.hypot(comv[0], comv[1]))
+    move = tolerance(
+      speed, self.move_speed, _INF, self.move_speed, 0.0, LINEAR
+    )
+    move = (5.0 * move + 1.0) / 6.0
+    return float(small_control * stand_reward * move)
+
+  def task_observation(self) -> Dict[str, np.ndarray]:
+    torso_frame = self.data.xmat[self.id_torso].reshape(3, 3)
+    torso_pos = self.data.xpos[self.id_torso]
+    ext = []
+    for b in self.id_ext:
+      ext += list((self.data.xpos[b] - torso_pos) @ torso_frame)
+    obs = {
+      "joint_angles": np.copy(self.data.qpos[7:]),
+      "head_height": np.float64(self.data.xpos[self.id_head, 2]),
+      "extremities": np.asarray(ext),
+      "torso_vertical": np.copy(torso_frame[2]),
+      "com_velocity": self._com_velocity(),
+      "position": np.copy(self.data.qpos),
+      "velocity": np.copy(self.data.qvel),
+    }
+    if self.is_pure_state:
+      # pure-state tasks expose position/velocity; the pixels-era fields
+      # are zeroed (the reference simply omits them from the dict; our
+      # static specs keep every key)
+      obs["joint_angles"] = np.zeros(21)
+      obs["head_height"] = np.float64(0.0)
+      obs["extremities"] = np.zeros(12)
+      obs["torso_vertical"] = np.zeros(3)
+      obs["com_velocity"] = np.zeros(3)
+    else:
+      obs["position"] = np.zeros(28)
+    return obs

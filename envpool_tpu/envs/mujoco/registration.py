@@ -63,6 +63,12 @@ dmc_mujoco_envs = [
   ("cartpole", "two_poles", 1000),
   ("cheetah", "run", 1000),
   ("finger", "spin", 1000),
+  ("fish", "swim", 1000),
+  ("fish", "upright", 1000),
+  ("humanoid", "run", 1000),
+  ("humanoid", "run_pure_state", 1000),
+  ("humanoid", "stand", 1000),
+  ("humanoid", "walk", 1000),
   ("finger", "turn_easy", 1000),
   ("finger", "turn_hard", 1000),
   ("swimmer", "swimmer6", 1000),

@@ -47,6 +47,12 @@ DMC_TASKS = [
   ("FingerTurnHard-v1", 2),
   ("SwimmerSwimmer6-v1", 5),
   ("SwimmerSwimmer15-v1", 14),
+  ("FishUpright-v1", 5),
+  ("FishSwim-v1", 5),
+  ("HumanoidStand-v1", 21),
+  ("HumanoidWalk-v1", 21),
+  ("HumanoidRun-v1", 21),
+  ("HumanoidRunPureState-v1", 21),
 ]
 
 
