@@ -508,5 +508,8 @@ class TpuEnvPool:
 
   def load_state(self, state: Any) -> None:
     """Restore a pool state snapshot produced by ``save_state``."""
+    if isinstance(state, dict) and set(state) == set(PoolState._fields):
+      # checkpointers (orbax) may round-trip the namedtuple as a dict
+      state = PoolState(**state)
     self._state = jax.tree_util.tree_map(jnp.asarray, state)
     self._pending.clear()

@@ -73,12 +73,15 @@ def make_ppo_train_step(
   tx: optax.GradientTransformation,
   mesh: Optional[Mesh] = None,
   axis_name: str = "env",
+  model_axis: Optional[str] = None,
 ) -> Callable[[PPOState], Tuple[PPOState, dict]]:
   """Build the jitted one-iteration training step.
 
   With ``mesh`` given, observations/actions are constrained to the env
-  axis and params to full replication, making the program SPMD-partitioned
-  (dp over envs); pass the result through ``jax.jit`` exactly once.
+  axis (data parallelism over envs); parameters are replicated, or — when
+  ``model_axis`` names a second mesh axis — dense kernels are sharded
+  over it (tensor parallelism: XLA inserts the activation collectives).
+  Pass the result through ``jax.jit`` exactly once.
   """
   _, recv, send, _ = pool.xla()
   obs_idx = pool._state_keys.index("obs")
@@ -92,9 +95,18 @@ def make_ppo_train_step(
     def constrain_batch(x):
       return jax.lax.with_sharding_constraint(x, batch_sharding)
 
+    def _param_sharding(x):
+      if model_axis is not None and x.ndim >= 2:
+        # shard the output-features dim of dense/conv kernels over the
+        # model axis (megatron-style column parallelism)
+        spec = [None] * (x.ndim - 1) + [model_axis]
+        return NamedSharding(mesh, P(*spec))
+      return replicated
+
     def constrain_replicated(tree):
       return jax.tree_util.tree_map(
-        lambda x: jax.lax.with_sharding_constraint(x, replicated), tree
+        lambda x: jax.lax.with_sharding_constraint(x, _param_sharding(x)),
+        tree,
       )
   else:
     def constrain_batch(x):
