@@ -70,8 +70,8 @@ def bench_family(task: str, num_envs: int, steps: int, **kwargs) -> float:
 
 def main() -> None:
   p = argparse.ArgumentParser()
-  p.add_argument("--num-envs", type=int, default=8192)
-  p.add_argument("--steps", type=int, default=256)
+  p.add_argument("--num-envs", type=int, default=16384)
+  p.add_argument("--steps", type=int, default=128)
   args = p.parse_args()
 
   detail = {}
