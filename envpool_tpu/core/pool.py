@@ -172,16 +172,45 @@ class TpuEnvPool:
       need_reset = (
         jnp.ones(n, jnp.bool_) if force_reset else ps.done
       )
-      rs_env, rs_obs, rs_info = reset_v(ps.env, sub)
+
+      def _merge_resets(st_env, st_obs, st_info):
+        """Select reset-branch values into lanes that need a reset.
+
+        Wrapped in a batch-level cond: when NO lane resets this step
+        (the steady state for env-side-auto-reset families, and any step
+        without terminations elsewhere) the whole reset computation is
+        skipped at runtime. RNG consumption is identical either way —
+        reset_v and step_v share the same ``sub`` keys.
+        """
+        if force_reset:
+          rs_env, rs_obs, rs_info = reset_v(ps.env, sub)
+          return (
+            _select(need_reset, rs_env, st_env),
+            _select(need_reset, rs_obs, st_obs),
+            _select(need_reset, rs_info, st_info),
+          )
+
+        def do_reset(st3):
+          st_env, st_obs, st_info = st3
+          rs_env, rs_obs, rs_info = reset_v(ps.env, sub)
+          return (
+            _select(need_reset, rs_env, st_env),
+            _select(need_reset, rs_obs, st_obs),
+            _select(need_reset, rs_info, st_info),
+          )
+
+        return jax.lax.cond(
+          jnp.any(need_reset), do_reset, lambda st3: st3,
+          (st_env, st_obs, st_info),
+        )
+
       if env_resets:
         # env-side auto-reset: step already returns done/trunc and the
         # post-internal-reset state/obs on terminal transitions.
         st_env, st_obs, st_rew, st_done, st_trunc, st_info = step_v(
           ps.env, _unpack_action(action_full), sub
         )
-        env2 = _select(need_reset, rs_env, st_env)
-        obs = _select(need_reset, rs_obs, st_obs)
-        info = _select(need_reset, rs_info, st_info)
+        env2, obs, info = _merge_resets(st_env, st_obs, st_info)
         elapsed = jnp.where(need_reset, 0, ps.elapsed + 1)
         done = jnp.where(need_reset, False, st_done.astype(jnp.bool_))
         trunc = jnp.where(need_reset, False, st_trunc.astype(jnp.bool_))
@@ -198,9 +227,7 @@ class TpuEnvPool:
         st_env, st_obs, st_rew, st_term, st_info = step_v(
           ps.env, _unpack_action(action_full), sub
         )
-        env2 = _select(need_reset, rs_env, st_env)
-        obs = _select(need_reset, rs_obs, st_obs)
-        info = _select(need_reset, rs_info, st_info)
+        env2, obs, info = _merge_resets(st_env, st_obs, st_info)
         elapsed = jnp.where(need_reset, 0, ps.elapsed + 1)
         cap = cap_v(env2)
         term = jnp.where(need_reset, False, st_term.astype(jnp.bool_))

@@ -268,22 +268,28 @@ class SokobanEnv(FuncEnv):
     p1 = p0 + delta
     p2 = p0 + 2 * delta
 
-    # TPU note: all cell reads/writes below are one-hot mask arithmetic
-    # over the full [D, D] grid instead of dynamic gathers/scatters —
+    # TPU notes: (a) all cell reads/writes below are one-hot mask
+    # arithmetic over the grid instead of dynamic gathers/scatters —
     # vmapped scatter serializes on TPU and was the family's throughput
-    # ceiling; masked selects are pure VPU elementwise work.
-    rng_d = jnp.arange(d)
+    # ceiling; (b) the grid is FLATTENED to [d*d] for the arithmetic: a
+    # [10, 10] minor shape pads to an (8, 128) vreg tile (10x wasted
+    # lanes), a [100] vector pads only to 128.
+    wf = world.reshape(d * d)
+    rng_f = jnp.arange(d * d)
 
-    def cell_mask(p: jax.Array) -> jax.Array:
-      # all-False for out-of-bounds p (arange never equals it)
-      return (rng_d == p[0])[:, None] & (rng_d == p[1])[None, :]
+    def flat_pos(p: jax.Array) -> jax.Array:
+      # -1 for out-of-bounds (matches nothing in rng_f)
+      inb = (p[0] >= 0) & (p[0] < d) & (p[1] >= 0) & (p[1] < d)
+      return jnp.where(inb, p[0] * d + p[1], -1)
 
-    m0, m1, m2 = cell_mask(p0), cell_mask(p1), cell_mask(p2)
+    m0 = rng_f == flat_pos(p0)
+    m1 = rng_f == flat_pos(p1)
+    m2 = rng_f == flat_pos(p2)
 
     def world_at(m: jax.Array) -> jax.Array:
       # out-of-bounds reads as WALL (sokoban_envpool.cc:69-74); the empty
       # mask sums to 0 == kWall, which is exactly that semantics
-      return jnp.sum(jnp.where(m, world, 0).astype(jnp.int32)).astype(
+      return jnp.sum(jnp.where(m, wf, 0).astype(jnp.int32)).astype(
         jnp.uint8
       )
 
@@ -308,9 +314,9 @@ class SokobanEnv(FuncEnv):
 
     # masked writes; an out-of-bounds p2 has an empty mask (drop semantics)
     moved = jnp.where(m0, new0, jnp.where(m1, new1, jnp.where(m2, new2,
-                                                              world)))
+                                                              wf)))
     do_move = agent_moves & ~noop
-    world2 = jnp.where(do_move, moved, world)
+    world2 = jnp.where(do_move, moved, wf).reshape(d, d)
     player2 = jnp.where(do_move, p1, p0)
     d_unmatched = jnp.where(
       box_moves & do_move,
