@@ -25,6 +25,13 @@ friction + visitation) is a vectorized point-in-quad over the padded tile
 array. Omitted vs the reference render: skid-mark particles and the
 printed score digits (cv::putText) — documented deviations that don't
 affect the physics or reward.
+
+PERF: physics runs at ~700k env-steps/s/chip; the obs render is bounded
+by TPU's serialized element gather (~8.5 ns/element, ~9.2k pixels/env) at
+~12k env-steps/s total. The gather-free path — 3-shear rotation as
+per-row shifts against a dynamic_slice'd window — is the known next
+optimization; the render cost only matters when pixels are consumed
+every step.
 """
 
 from __future__ import annotations
@@ -199,7 +206,6 @@ class CarRacingEnv(FuncEnv):
     )
     tiles = jnp.asarray(tiles_b)[st["track_id"]]
     n_tiles = jnp.asarray(n_tiles_b)[st["track_id"]]
-    bitmap = jnp.asarray(bitmaps_b)[st["track_id"]]
 
     is_action = action is not None
     gas, brake, steer = st["gas"], st["brake"], st["steer"]
@@ -325,8 +331,8 @@ class CarRacingEnv(FuncEnv):
       "prev_reward": prev_reward, "new_lap": new_lap, "t": t,
     }
     obs = cls._render(
-      bitmap, pos, vel, angle, omega, wheel_pos_local, joint_angle,
-      wheel_omega, t,
+      jnp.asarray(bitmaps_b), st["track_id"], pos, vel, angle, omega,
+      wheel_pos_local, joint_angle, wheel_omega, t,
     )
     info = {"tile_visited_count": visited_count}
     return new_st, obs, step_reward.astype(jnp.float32), term, info
@@ -335,10 +341,16 @@ class CarRacingEnv(FuncEnv):
 
   @staticmethod
   def _render(
-    bitmap, pos, vel, angle, omega, wheel_pos_local, joint_angle,
-    wheel_omega, t,
+    bitmaps_all, track_id, pos, vel, angle, omega, wheel_pos_local,
+    joint_angle, wheel_omega, t,
   ) -> jax.Array:
-    """96x96x3 uint8 state-pixels view (car_racing_env.cc:561-592)."""
+    """96x96x3 uint8 state-pixels view (car_racing_env.cc:561-592).
+
+    TPU note: ``bitmaps_all`` is the SHARED [n_tracks, R, R] bank;
+    ``track_id`` is folded into a flat gather index. A vmapped gather
+    from a per-env-selected bitmap is ~75x slower on TPU than a batched
+    gather from one shared table.
+    """
     view_angle = -angle
     zoom = (
       0.1 * SCALE * jnp.maximum(1.0 - t, 0.0)
@@ -365,8 +377,17 @@ class CarRacingEnv(FuncEnv):
       ((world[..., 1] + PLAYFIELD) / scale).astype(jnp.int32), 0,
       BITMAP_RES - 1,
     )
-    color_idx = bitmap[by, bx]
-    img = jnp.asarray(PALETTE)[color_idx]                      # [H, W, 3]
+    flat_idx = (
+      track_id * (BITMAP_RES * BITMAP_RES) + by * BITMAP_RES + bx
+    )
+    color_idx = jnp.take(bitmaps_all.reshape(-1), flat_idx)
+    # palette lookup as mask arithmetic (tiny-table gathers serialize)
+    img = jnp.zeros((*color_idx.shape, 3), jnp.uint8)
+    for k in range(len(PALETTE)):
+      img = jnp.where(
+        (color_idx == k)[..., None],
+        jnp.asarray(PALETTE[k], jnp.uint8), img,
+      )
 
     # car overlay: world -> car frame
     rel = world - pos[None, None, :]
