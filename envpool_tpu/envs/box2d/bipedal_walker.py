@@ -224,12 +224,17 @@ def _terrain_heights(key: jax.Array, hardcore: bool) -> jax.Array:
 
 
 def _ground_y(terrain_y: jax.Array, x: jax.Array) -> jax.Array:
+  # one-hot dot instead of knot gathers (serialized on TPU); this runs
+  # per contact point per substep and per lidar sample
   f = jnp.clip(x / TERRAIN_STEP, 0.0, TERRAIN_LENGTH - 1 - 1e-6)
   i = jnp.floor(f).astype(jnp.int32)
   t = f - i
-  return terrain_y[i] * (1 - t) + terrain_y[
-    jnp.minimum(i + 1, TERRAIN_LENGTH - 1)
-  ] * t
+  k = jnp.arange(TERRAIN_LENGTH)
+  y0 = jnp.sum(jnp.where(k == i, terrain_y, 0.0))
+  y1 = jnp.sum(
+    jnp.where(k == jnp.minimum(i + 1, TERRAIN_LENGTH - 1), terrain_y, 0.0)
+  )
+  return y0 * (1 - t) + y1 * t
 
 
 class BipedalWalkerEnv(FuncEnv):

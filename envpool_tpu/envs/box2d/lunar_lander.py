@@ -138,12 +138,19 @@ def _terrain(key: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def _ground_height(smooth_y: jax.Array, x: jax.Array) -> jax.Array:
-  """Piecewise-linear terrain height at x (chunks are evenly spaced)."""
+  """Piecewise-linear terrain height at x (chunks are evenly spaced).
+
+  One-hot dot products instead of knot gathers: TPU serializes element
+  gathers (~8.5 ns each), and this runs per contact point per substep.
+  """
   dx = VIEWPORT_W / (CHUNKS - 1)
   f = jnp.clip(x / dx, 0.0, CHUNKS - 1 - 1e-6)
   i = jnp.floor(f).astype(jnp.int32)
   t = f - i
-  return smooth_y[i] * (1 - t) + smooth_y[jnp.minimum(i + 1, CHUNKS - 1)] * t
+  k = jnp.arange(CHUNKS)
+  y0 = jnp.sum(jnp.where(k == i, smooth_y, 0.0))
+  y1 = jnp.sum(jnp.where(k == jnp.minimum(i + 1, CHUNKS - 1), smooth_y, 0.0))
+  return y0 * (1 - t) + y1 * t
 
 
 class LunarLanderEnv(FuncEnv):

@@ -172,23 +172,45 @@ class EmptyEnv(FuncEnv):
       jnp.stack([pos[0] - half, pos[1] - view + 1]),
     ])
     top = tops[direction]
-    window = jax.lax.dynamic_slice(
-      grid, (top[1] + view, top[0] + view), (view, view)
-    )  # [y, x] layout like grid_[y][x]
+    # window extraction as two one-hot matmuls (a vmapped dynamic_slice
+    # with per-env starts lowers to TPU's serialized gather): rows
+    # [view, G] @ grid [G, G] @ cols [G, view]
+    g = grid.shape[0]
+    row0 = top[1] + view
+    col0 = top[0] + view
+    rsel = (
+      jnp.arange(view)[:, None] + row0 == jnp.arange(g)[None, :]
+    ).astype(jnp.float32)
+    csel = (
+      jnp.arange(g)[:, None] == jnp.arange(view)[None, :] + col0
+    ).astype(jnp.float32)
+    window = (rsel @ grid.astype(jnp.float32) @ csel).astype(jnp.uint8)
 
     # rotate counter-clockwise (dir + 1) times (impl/minigrid_env.cc:195-205):
     # copy[v-1-x][y] = win[y][x]  ==  np.rot90(win, k=-1) per application
     rots = [window]
     for _ in range(3):
       rots.append(jnp.rot90(rots[-1], k=-1))
-    rotated = jnp.stack([rots[1], rots[2], rots[3], rots[0]])[direction]
+    # 4-way select by direction via masked adds (no per-env table gather)
+    rotated = (
+      jnp.where(direction == 0, rots[1], 0)
+      + jnp.where(direction == 1, rots[2], 0)
+      + jnp.where(direction == 2, rots[3], 0)
+      + jnp.where(direction == 3, rots[0], 0)
+    ).astype(jnp.uint8)
 
     # the agent's own cell shows what it carries (nothing -> empty)
     rotated = rotated.at[view - 1, view // 2].set(T_EMPTY)
 
+    # color channel via masked selects (tiny-table gathers serialize on TPU)
+    color = jnp.zeros_like(rotated)
+    for t, c in ((T_EMPTY, TYPE_COLOR[T_EMPTY]),
+                 (T_WALL, TYPE_COLOR[T_WALL]),
+                 (T_GOAL, TYPE_COLOR[T_GOAL])):
+      color = jnp.where(rotated == t, jnp.uint8(c), color)
     img = jnp.stack([
       rotated,
-      jnp.asarray(TYPE_COLOR)[rotated],
+      color,
       jnp.zeros_like(rotated),
     ], axis=-1).astype(jnp.uint8)
     # transpose obs(x, y, c) = view[y][x] (impl/minigrid_env.cc:231-236)
