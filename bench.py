@@ -78,6 +78,12 @@ def main() -> None:
   detail["CartPole-v1"] = bench_family(
     "CartPole-v1", args.num_envs, args.steps
   )
+  detail["LunarLander-v2"] = bench_family(
+    "LunarLander-v2", min(args.num_envs, 8192), args.steps
+  )
+  detail["MiniGrid-Empty-8x8-v0"] = bench_family(
+    "MiniGrid-Empty-8x8-v0", min(args.num_envs, 8192), args.steps
+  )
   detail["Sokoban-v0"] = bench_family(
     "Sokoban-v0", args.num_envs, args.steps,
     max_episode_steps=60, levels_dir="", n_levels_to_load=1024,

@@ -12,6 +12,7 @@ from .domains import (
   DmcFishEnv,
   DmcHopperEnv,
   DmcHumanoidEnv,
+  DmcManipulatorEnv,
   DmcPendulumEnv,
   DmcPointMassEnv,
   DmcReacherEnv,
@@ -24,7 +25,7 @@ __all__ = []
 for _env_cls in (
   DmcAcrobotEnv, DmcBallInCupEnv, DmcCartpoleEnv, DmcCheetahEnv,
   DmcFingerEnv, DmcFishEnv, DmcHopperEnv, DmcHumanoidEnv,
-  DmcPendulumEnv, DmcPointMassEnv,
+  DmcManipulatorEnv, DmcPendulumEnv, DmcPointMassEnv,
   DmcReacherEnv, DmcSwimmerEnv, DmcWalkerEnv,
 ):
   _spec, _dm, _gym, _gymnasium = py_env(_env_cls, pool_base=HostEnvPool)

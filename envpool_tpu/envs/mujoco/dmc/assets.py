@@ -759,3 +759,150 @@ DMC_HUMANOID_XML = """
   </sensor>
 </mujoco>
 """
+
+
+def manipulator_xml(task_name: str) -> str:
+  """Counterpart of GetManipulatorXML + XMLRemoveByBodyName
+  (dmc/manipulator.h:36-53): a planar arm with a two-finger gripper; the
+  prop set (ball/peg + cup/slot receptacles + targets) depends on task."""
+  use_peg = task_name in ("bring_peg", "insert_peg")
+  insert = task_name in ("insert_ball", "insert_peg")
+
+  ball = """
+    <body name="ball" pos="0 0 0">
+      <joint name="ball_x" type="slide" axis="1 0 0" limited="false" damping="0.01"/>
+      <joint name="ball_z" type="slide" axis="0 0 1" limited="false" damping="0.01"/>
+      <joint name="ball_y" type="hinge" axis="0 1 0" limited="false" damping="0.01"/>
+      <geom name="ball_geom" type="sphere" size="0.025" mass="0.1"/>
+      <site name="ball" pos="0 0 0" size="0.005"/>
+    </body>
+    <body name="target_ball" pos="0.2 0 0.2">
+      <site name="target_ball" pos="0 0 0" size="0.03"/>
+    </body>"""
+  cup = """
+    <body name="cup" pos="-0.2 0 0.2">
+      <geom name="cup_left" type="capsule" fromto="-0.05 0 0 -0.05 0 0.08"
+            size="0.008" contype="2" conaffinity="2"/>
+      <geom name="cup_right" type="capsule" fromto="0.05 0 0 0.05 0 0.08"
+            size="0.008" contype="2" conaffinity="2"/>
+      <geom name="cup_base" type="capsule" fromto="-0.05 0 0 0.05 0 0"
+            size="0.008" contype="2" conaffinity="2"/>
+    </body>"""
+  peg = """
+    <body name="peg" pos="0 0 0">
+      <joint name="peg_x" type="slide" axis="1 0 0" limited="false" damping="0.01"/>
+      <joint name="peg_z" type="slide" axis="0 0 1" limited="false" damping="0.01"/>
+      <joint name="peg_y" type="hinge" axis="0 1 0" limited="false" damping="0.01"/>
+      <geom name="peg_geom" type="capsule" fromto="0 0 -0.06 0 0 0.06"
+            size="0.015" mass="0.1"/>
+      <site name="peg" pos="0 0 0" size="0.005"/>
+      <site name="peg_tip" pos="0 0 0.06" size="0.005"/>
+      <site name="peg_grasp" pos="0 0 -0.02" size="0.005"/>
+      <site name="peg_pinch" pos="0 0 0.02" size="0.005"/>
+    </body>
+    <body name="target_peg" pos="0.2 0 0.2">
+      <site name="target_peg" pos="0 0 0" size="0.005"/>
+      <site name="target_peg_tip" pos="0 0 0.06" size="0.005"/>
+    </body>"""
+  slot = """
+    <body name="slot" pos="-0.2 0 0.2">
+      <geom name="slot_left" type="box" pos="-0.035 0 0.04"
+            size="0.01 0.02 0.08" contype="2" conaffinity="2"/>
+      <geom name="slot_right" type="box" pos="0.035 0 0.04"
+            size="0.01 0.02 0.08" contype="2" conaffinity="2"/>
+      <geom name="slot_base" type="box" pos="0 0 -0.05"
+            size="0.045 0.02 0.01" contype="2" conaffinity="2"/>
+    </body>"""
+
+  props = peg if use_peg else ball
+  if insert:
+    props += slot if use_peg else cup
+
+  return f"""
+<mujoco model="manipulator">
+  <option timestep="0.002" gravity="0 0 -9.81"/>
+  <default>
+    <joint damping="0.05" limited="true"/>
+    <geom friction="0.5" solimp="0.9 0.95 0.001" solref="0.01 1"/>
+    <motor ctrllimited="true" ctrlrange="-1 1"/>
+  </default>
+  <worldbody>
+    <geom name="floor" type="plane" pos="0 0 0" size="2 2 0.1"/>
+    <body name="upper_arm" pos="0 0 0.4">
+      <joint name="arm_root" type="hinge" axis="0 1 0" limited="false"/>
+      <geom name="upper_arm_geom" type="capsule" fromto="0 0 0 0 0 -0.18"
+            size="0.02" mass="0.5" contype="4" conaffinity="4"/>
+      <body name="middle_arm" pos="0 0 -0.18">
+        <joint name="arm_shoulder" type="hinge" axis="0 1 0"
+               range="-1.8 1.8"/>
+        <geom name="middle_arm_geom" type="capsule" fromto="0 0 0 0 0 -0.15"
+              size="0.018" mass="0.3" contype="4" conaffinity="4"/>
+        <body name="lower_arm" pos="0 0 -0.15">
+          <joint name="arm_elbow" type="hinge" axis="0 1 0"
+                 range="-1.8 1.8"/>
+          <geom name="lower_arm_geom" type="capsule"
+                fromto="0 0 0 0 0 -0.12" size="0.016" mass="0.2"
+                contype="4" conaffinity="4"/>
+          <body name="hand" pos="0 0 -0.12">
+            <joint name="arm_wrist" type="hinge" axis="0 1 0"
+                   range="-2.8 2.8"/>
+            <geom name="hand_geom" type="capsule" fromto="0 0 0 0 0 -0.03"
+                  size="0.015" mass="0.1"/>
+            <site name="palm_site" pos="0 0 -0.03" size="0.008"/>
+            <site name="grasp" pos="0 0 -0.065" size="0.005"/>
+            <site name="pinch" pos="0 0 -0.09" size="0.005"/>
+            <body name="finger_body" pos="0.012 0 -0.03">
+              <joint name="finger" type="hinge" axis="0 1 0"
+                     range="-1.1 0.3"/>
+              <geom name="finger_geom" type="capsule"
+                    fromto="0 0 0 0 0 -0.05" size="0.007" mass="0.02"/>
+              <site name="finger_site" pos="0 0 -0.025" size="0.006"/>
+              <body name="fingertip_body" pos="0 0 -0.05">
+                <joint name="fingertip" type="hinge" axis="0 1 0"
+                       range="-0.6 0.6"/>
+                <geom name="fingertip_geom" type="capsule"
+                      fromto="0 0 0 0 0 -0.02" size="0.006" mass="0.01"/>
+                <site name="fingertip_site" pos="0 0 -0.02" size="0.005"/>
+              </body>
+            </body>
+            <body name="thumb_body" pos="-0.012 0 -0.03">
+              <joint name="thumb" type="hinge" axis="0 -1 0"
+                     range="-1.1 0.3"/>
+              <geom name="thumb_geom" type="capsule"
+                    fromto="0 0 0 0 0 -0.05" size="0.007" mass="0.02"/>
+              <site name="thumb_site" pos="0 0 -0.025" size="0.006"/>
+              <body name="thumbtip_body" pos="0 0 -0.05">
+                <joint name="thumbtip" type="hinge" axis="0 -1 0"
+                       range="-0.6 0.6"/>
+                <geom name="thumbtip_geom" type="capsule"
+                      fromto="0 0 0 0 0 -0.02" size="0.006" mass="0.01"/>
+                <site name="thumbtip_site" pos="0 0 -0.02" size="0.005"/>
+              </body>
+            </body>
+          </body>
+        </body>
+      </body>
+    </body>
+    {props}
+  </worldbody>
+  <tendon>
+    <fixed name="grasp_tendon">
+      <joint joint="finger" coef="0.5"/>
+      <joint joint="thumb" coef="0.5"/>
+    </fixed>
+  </tendon>
+  <actuator>
+    <motor name="arm_root" joint="arm_root" gear="8"/>
+    <motor name="arm_shoulder" joint="arm_shoulder" gear="5"/>
+    <motor name="arm_elbow" joint="arm_elbow" gear="3"/>
+    <motor name="arm_wrist" joint="arm_wrist" gear="1"/>
+    <motor name="grasp" tendon="grasp_tendon" gear="1"/>
+  </actuator>
+  <sensor>
+    <touch name="palm_touch" site="palm_site"/>
+    <touch name="finger_touch" site="finger_site"/>
+    <touch name="thumb_touch" site="thumb_site"/>
+    <touch name="fingertip_touch" site="fingertip_site"/>
+    <touch name="thumbtip_touch" site="thumbtip_site"/>
+  </sensor>
+</mujoco>"""

@@ -1002,3 +1002,203 @@ class DmcHumanoidEnv(DmcEnv):
     else:
       obs["position"] = np.zeros(28)
     return obs
+
+
+class DmcManipulatorEnv(DmcEnv):
+  """dmc manipulator bring/insert ball/peg
+  (``envpool/mujoco/dmc/manipulator.h``)."""
+
+  name = "DmcManipulator"
+  model_xml = staticmethod(assets.manipulator_xml)
+  _CLOSE = 0.01
+  _P_IN_HAND = 0.1
+  _P_IN_TARGET = 0.1
+  _ARM_JOINTS = (
+    "arm_root", "arm_shoulder", "arm_elbow", "arm_wrist",
+    "finger", "fingertip", "thumb", "thumbtip",
+  )
+  _TOUCH = (
+    "palm_touch", "finger_touch", "thumb_touch", "fingertip_touch",
+    "thumbtip_touch",
+  )
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {"frame_skip": 10, "task_name": "bring_ball"}
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {
+      "obs:arm_pos": ArraySpec(np.float64, (8, 2)),
+      "obs:arm_vel": ArraySpec(np.float64, (8,)),
+      "obs:touch": ArraySpec(np.float64, (5,)),
+      "obs:hand_pos": ArraySpec(np.float64, (4,)),
+      "obs:object_pos": ArraySpec(np.float64, (4,)),
+      "obs:object_vel": ArraySpec(np.float64, (3,)),
+      "obs:target_pos": ArraySpec(np.float64, (4,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float64, (-1, 5), -1.0, 1.0)}
+
+  def __init__(self, cfg: Any, env_id: int) -> None:
+    super().__init__(cfg, env_id)
+    t = self.task_name
+    if t not in ("bring_ball", "bring_peg", "insert_ball", "insert_peg"):
+      raise RuntimeError(f"Unknown task_name {t} for dmc manipulator.")
+    self.use_peg = t in ("bring_peg", "insert_peg")
+    self.insert = t in ("insert_ball", "insert_peg")
+    mj = self._mujoco
+    obj = "peg" if self.use_peg else "ball"
+    self.id_arm_joints = [
+      mj.mj_name2id(self.model, mj.mjtObj.mjOBJ_JOINT, j)
+      for j in self._ARM_JOINTS
+    ]
+    self.id_arm_qpos = [self.qpos_id(j) for j in self._ARM_JOINTS]
+    self.id_arm_qvel = [self.qvel_id(j) for j in self._ARM_JOINTS]
+    self.id_finger = self.qpos_id("finger")
+    self.id_thumb = self.qpos_id("thumb")
+    if self.insert:
+      self.id_receptacle = mj.mj_name2id(
+        self.model, mj.mjtObj.mjOBJ_BODY, "slot" if self.use_peg else "cup"
+      )
+    self.id_body_target = mj.mj_name2id(
+      self.model, mj.mjtObj.mjOBJ_BODY, f"target_{obj}"
+    )
+    self.id_hand = self.body_id("hand")
+    self.id_object = self.body_id(obj)
+    self.id_target = self.body_id(f"target_{obj}")
+    self.id_obj_qpos = [self.qpos_id(f"{obj}_{a}") for a in "xzy"]
+    self.id_obj_qvel = [self.qvel_id(f"{obj}_{a}") for a in "xzy"]
+    self.id_touch = [self.sensor_id(s) for s in self._TOUCH]
+
+    def site(name):
+      return mj.mj_name2id(self.model, mj.mjtObj.mjOBJ_SITE, name)
+
+    self.id_site_grasp = site("grasp")
+    self.id_site_pinch = site("pinch")
+    if self.use_peg:
+      self.id_site_peg_grasp = site("peg_grasp")
+      self.id_site_peg_pinch = site("peg_pinch")
+      self.id_site_peg = site("peg")
+      self.id_site_target_peg = site("target_peg")
+      self.id_site_peg_tip = site("peg_tip")
+      self.id_site_target_peg_tip = site("target_peg_tip")
+    else:
+      self.id_site_ball = site("ball")
+      self.id_site_target_ball = site("target_ball")
+
+  def task_initialize_episode(self) -> None:
+    # manipulator.h:168-232: randomize arm, place target, put the prop in
+    # target / in hand / in the air, reject penetrating states
+    import math as _m
+    for _ in range(200):
+      for i, jid in enumerate(self.id_arm_joints):
+        if self.model.jnt_limited[jid]:
+          lo, hi = self.model.jnt_range[jid]
+        else:
+          lo, hi = -_m.pi, _m.pi
+        self.data.qpos[self.id_arm_qpos[i]] = self.gen.uniform(lo, hi)
+      self.data.qpos[self.id_finger] = self.data.qpos[self.id_thumb]
+      target_x = self.gen.uniform(-0.4, 0.4)
+      target_z = self.gen.uniform(0.1, 0.4)
+      if self.insert:
+        target_angle = self.gen.uniform(-_m.pi / 3, _m.pi / 3)
+        self.model.body_pos[self.id_receptacle, 0] = target_x
+        self.model.body_pos[self.id_receptacle, 2] = target_z
+        self.model.body_quat[self.id_receptacle, 0] = _m.cos(
+          target_angle / 2
+        )
+        self.model.body_quat[self.id_receptacle, 2] = _m.sin(
+          target_angle / 2
+        )
+      else:
+        target_angle = self.gen.uniform(-_m.pi, _m.pi)
+      self.model.body_pos[self.id_body_target, 0] = target_x
+      self.model.body_pos[self.id_body_target, 2] = target_z
+      self.model.body_quat[self.id_body_target, 0] = _m.cos(target_angle / 2)
+      self.model.body_quat[self.id_body_target, 2] = _m.sin(target_angle / 2)
+
+      choice = self.gen.uniform(0, 1)
+      if choice <= self._P_IN_TARGET:
+        obj_x, obj_z, obj_angle = target_x, target_z, target_angle
+      elif choice <= self._P_IN_TARGET + self._P_IN_HAND:
+        self._forward_no_actuation()
+        sx = self.data.site_xpos[self.id_site_grasp]
+        obj_x, obj_z = sx[0], sx[2]
+        xmat = self.data.site_xmat[self.id_site_grasp].reshape(3, 3)
+        obj_angle = _m.pi - _m.atan2(xmat[2, 0], xmat[0, 0])
+      else:
+        obj_x = self.gen.uniform(-0.5, 0.5)
+        obj_z = self.gen.uniform(0, 0.7)
+        obj_angle = self.gen.uniform(0, 2 * _m.pi)
+        self.data.qvel[self.id_obj_qvel[0]] = self.gen.uniform(-5, 5)
+      self.data.qpos[self.id_obj_qpos[0]] = obj_x
+      self.data.qpos[self.id_obj_qpos[1]] = obj_z
+      self.data.qpos[self.id_obj_qpos[2]] = obj_angle
+      self._forward_no_actuation()
+      if self.data.ncon <= 0:
+        break
+
+  def _site_distance(self, a: int, b: int) -> float:
+    return float(
+      np.linalg.norm(self.data.site_xpos[a] - self.data.site_xpos[b])
+    )
+
+  def _is_close(self, d: float) -> float:
+    return tolerance(d, 0.0, self._CLOSE, self._CLOSE * 2)
+
+  def task_get_reward(self) -> float:
+    if self.use_peg:
+      grasping = (
+        self._is_close(
+          self._site_distance(self.id_site_peg_grasp, self.id_site_grasp)
+        )
+        + self._is_close(
+          self._site_distance(self.id_site_peg_pinch, self.id_site_pinch)
+        )
+      ) / 2
+      bringing = (
+        self._is_close(
+          self._site_distance(self.id_site_peg, self.id_site_target_peg)
+        )
+        + self._is_close(
+          self._site_distance(
+            self.id_site_target_peg_tip, self.id_site_peg_tip
+          )
+        )
+      ) / 2
+      return float(max(bringing, grasping / 3))
+    return float(
+      self._is_close(
+        self._site_distance(self.id_site_ball, self.id_site_target_ball)
+      )
+    )
+
+  def _body_2d_pose(self, bid: int) -> np.ndarray:
+    return np.asarray([
+      self.data.xpos[bid, 0], self.data.xpos[bid, 2],
+      self.data.xquat[bid, 0], self.data.xquat[bid, 2],
+    ])
+
+  def task_observation(self) -> Dict[str, np.ndarray]:
+    q = self.data.qpos
+    arm_pos = np.stack([
+      [np.sin(q[i]), np.cos(q[i])] for i in self.id_arm_qpos
+    ])
+    return {
+      "arm_pos": arm_pos,
+      "arm_vel": np.asarray(
+        [self.data.qvel[i] for i in self.id_arm_qvel]
+      ),
+      "touch": np.log1p(np.asarray(
+        [self.data.sensordata[i] for i in self.id_touch]
+      )),
+      "hand_pos": self._body_2d_pose(self.id_hand),
+      "object_pos": self._body_2d_pose(self.id_object),
+      "object_vel": np.asarray(
+        [self.data.qvel[i] for i in self.id_obj_qvel]
+      ),
+      "target_pos": self._body_2d_pose(self.id_target),
+    }

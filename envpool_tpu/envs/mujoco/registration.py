@@ -73,6 +73,10 @@ dmc_mujoco_envs = [
   ("finger", "turn_hard", 1000),
   ("swimmer", "swimmer6", 1000),
   ("swimmer", "swimmer15", 1000),
+  ("manipulator", "bring_ball", 1000),
+  ("manipulator", "bring_peg", 1000),
+  ("manipulator", "insert_ball", 1000),
+  ("manipulator", "insert_peg", 1000),
   ("pendulum", "swingup", 1000),
   ("point_mass", "easy", 1000),
   ("point_mass", "hard", 1000),

@@ -4,6 +4,12 @@ recv returns the first batch_size finishers; send re-queues exactly those
 env ids (``envpool/python/envpool.py:122-133`` contract).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
 import numpy as np
 
 import envpool_tpu

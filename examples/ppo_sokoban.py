@@ -7,6 +7,12 @@ here the rollout + GAE + update is ONE jitted SPMD program per iteration
 Run:  python examples/ppo_sokoban.py --num-envs 1024 --iterations 50
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
 import argparse
 import time
 

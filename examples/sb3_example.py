@@ -2,6 +2,12 @@
 ``examples/sb3_examples``): wrap the batched pool as an SB3 VecEnv.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
 import numpy as np
 
 import envpool_tpu

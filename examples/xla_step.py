@@ -6,6 +6,12 @@ compiled on-device: ``env.xla()`` returns pure (handle, recv, send, step)
 and ``lax.scan`` runs the loop inside one XLA program.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
 import jax
 import jax.numpy as jnp
 import numpy as np

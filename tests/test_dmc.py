@@ -53,6 +53,10 @@ DMC_TASKS = [
   ("HumanoidWalk-v1", 21),
   ("HumanoidRun-v1", 21),
   ("HumanoidRunPureState-v1", 21),
+  ("ManipulatorBringBall-v1", 5),
+  ("ManipulatorBringPeg-v1", 5),
+  ("ManipulatorInsertBall-v1", 5),
+  ("ManipulatorInsertPeg-v1", 5),
 ]
 
 
