@@ -160,7 +160,7 @@ class CarRacingEnv(FuncEnv):
 
   @classmethod
   def reset(cls, cfg: Any, state: Any, key: jax.Array) -> Tuple[Any, Any, Dict]:
-    tiles, centers, n_tiles, bitmaps, init = _bank(
+    tiles, centers, n_tiles, bitmaps, coarse, init = _bank(
       int(cfg.seed), int(cfg.n_tracks)
     )
     track_id = jax.random.randint(key, (), 0, int(cfg.n_tracks))
@@ -201,7 +201,7 @@ class CarRacingEnv(FuncEnv):
 
   @classmethod
   def _step_impl(cls, cfg: Any, st: Any, action):
-    tiles_b, centers_b, n_tiles_b, bitmaps_b, _ = _bank(
+    tiles_b, centers_b, n_tiles_b, bitmaps_b, coarse_b, _ = _bank(
       int(cfg.seed), int(cfg.n_tracks)
     )
     tiles = jnp.asarray(tiles_b)[st["track_id"]]
@@ -330,9 +330,9 @@ class CarRacingEnv(FuncEnv):
       "visited_count": visited_count, "reward_acc": reward_acc,
       "prev_reward": prev_reward, "new_lap": new_lap, "t": t,
     }
-    obs = cls._render(
-      jnp.asarray(bitmaps_b), st["track_id"], pos, vel, angle, omega,
-      wheel_pos_local, joint_angle, wheel_omega, t,
+    obs = cls._render_v2(
+      jnp.asarray(bitmaps_b), jnp.asarray(coarse_b), st["track_id"], pos,
+      vel, angle, omega, wheel_pos_local, joint_angle, wheel_omega, t,
     )
     info = {"tile_visited_count": visited_count}
     return new_st, obs, step_reward.astype(jnp.float32), term, info
@@ -389,6 +389,17 @@ class CarRacingEnv(FuncEnv):
         jnp.asarray(PALETTE[k], jnp.uint8), img,
       )
 
+    return CarRacingEnv._overlays(
+      img, world, ii, jj, pos, vel, angle, omega, wheel_pos_local,
+      joint_angle, wheel_omega,
+    )
+
+  @staticmethod
+  def _overlays(
+    img, world, ii, jj, pos, vel, angle, omega, wheel_pos_local,
+    joint_angle, wheel_omega,
+  ) -> jax.Array:
+    """Car sprite + indicator bar (shared by both background renderers)."""
     # car overlay: world -> car frame
     rel = world - pos[None, None, :]
     rot_h = _rot(angle)
@@ -475,3 +486,286 @@ class CarRacingEnv(FuncEnv):
     img = horiz_bar(img, 20, -10.0 * joint_angle[0], [0, 255, 0])
     img = horiz_bar(img, 30, -0.8 * omega, [255, 0, 0])
     return img.astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# gather-free renderer: per-row integer shifts via static-roll decomposition
+# (TPU serializes per-element gathers at ~8.5 ns; rolls + masked selects fuse
+# into VMEM-resident elementwise work, and the final scale/translate is a
+# pair of small one-hot matmuls)
+
+def _row_shift_rolls(w: jax.Array, shifts: jax.Array) -> jax.Array:
+  """w [R, C] -> out[r, c] = w[r, c - shifts[r]] (circular)."""
+  r_, c_ = w.shape
+  s = jnp.mod(shifts, c_)
+  lo = jnp.mod(s, 16)
+  hi = s // 16
+  acc = jnp.zeros_like(w)
+  for l in range(16):
+    acc = jnp.where((lo == l)[:, None], jnp.roll(w, l, axis=1), acc)
+  out = jnp.zeros_like(w)
+  for h in range(c_ // 16):
+    out = jnp.where((hi == h)[:, None], jnp.roll(acc, 16 * h, axis=1), out)
+  return out
+
+
+def _col_shift_rolls(w: jax.Array, shifts: jax.Array) -> jax.Array:
+  return _row_shift_rolls(w.T, shifts).T
+
+
+def _rot_shear(w: jax.Array, theta: jax.Array) -> jax.Array:
+  """Integer 3-shear rotation: out[d] = w[S(theta) (d - c) + c] with
+  S(theta) = [[cos, sin], [-sin, cos]] in (row, col) coords; exact to
+  ~1 px vs nearest-neighbor rotation for |theta| <= pi/4."""
+  r_, c_ = w.shape
+  cy, cx = (r_ - 1) / 2, (c_ - 1) / 2
+  a = jnp.tan(theta / 2)
+  b = -jnp.sin(theta)
+  rr = jnp.arange(r_) - cy
+  cc = jnp.arange(c_) - cx
+  w = _row_shift_rolls(w, jnp.round(a * rr).astype(jnp.int32))
+  w = _col_shift_rolls(w, jnp.round(b * cc).astype(jnp.int32))
+  w = _row_shift_rolls(w, jnp.round(a * rr).astype(jnp.int32))
+  return w
+
+
+def _shear_sample_kernel(
+  w_ref, s1_ref, s2_ref, s3_ref, s4_ref, rows_ref, cols_ref, out_ref
+):
+  """Fused pallas kernel: 3 rotation shears + residual shear + one-hot
+  scale matmuls, all VMEM-resident (XLA materializes each roll of the
+  chain to HBM; fusing by hand keeps one read + one write per env)."""
+  w = w_ref[...]
+  s_dim = w.shape[0]
+
+  def row_pass(w, shifts_2d):           # shift along axis 1, per row
+    sh = jnp.mod(shifts_2d, s_dim).reshape(s_dim, 1)
+    lo = jnp.mod(sh, 16)
+    hi = sh // 16
+    acc = jnp.where(lo == 0, w, jnp.zeros_like(w))
+    for l in range(1, 16):
+      acc = jnp.where(lo == l, jnp.roll(w, l, axis=1), acc)
+    out = jnp.where(hi == 0, acc, jnp.zeros_like(w))
+    for h in range(1, s_dim // 16):
+      out = jnp.where(hi == h, jnp.roll(acc, 16 * h, axis=1), out)
+    return out
+
+  def col_pass(w, shifts_2d):           # shift along axis 0, per column
+    sh = jnp.mod(shifts_2d, s_dim).reshape(1, s_dim)
+    lo = jnp.mod(sh, 16)
+    hi = sh // 16
+    acc = jnp.where(lo == 0, w, jnp.zeros_like(w))
+    for l in range(1, 16):
+      acc = jnp.where(lo == l, jnp.roll(w, l, axis=0), acc)
+    out = jnp.where(hi == 0, acc, jnp.zeros_like(w))
+    for h in range(1, s_dim // 16):
+      out = jnp.where(hi == h, jnp.roll(acc, 16 * h, axis=0), out)
+    return out
+
+  w = row_pass(w, s1_ref[...])
+  w = col_pass(w, s2_ref[...])
+  w = row_pass(w, s3_ref[...])
+  w = col_pass(w, s4_ref[...])
+
+  rows = rows_ref[...].reshape(STATE_H, 1)     # [96, 1]
+  cols = cols_ref[...].reshape(1, STATE_W)     # [1, 96]
+  iota_s_row = jax.lax.broadcasted_iota(jnp.int32, (STATE_H, s_dim), 1)
+  iota_s_col = jax.lax.broadcasted_iota(jnp.int32, (s_dim, STATE_W), 0)
+  row_oh = (rows == iota_s_row).astype(jnp.bfloat16)
+  col_oh = (iota_s_col == cols).astype(jnp.bfloat16)
+  out_ref[...] = jnp.dot(
+    jnp.dot(row_oh, w, preferred_element_type=jnp.float32
+            ).astype(jnp.bfloat16),
+    col_oh, preferred_element_type=jnp.float32,
+  )
+
+
+def _shear_sample(w_q, s1, s2, s3, s4, rows, cols):
+  """One env: [S, S] bf16 window + shift vectors -> [96, 96] f32."""
+  from jax.experimental import pallas as pl
+
+  s_dim = w_q.shape[0]
+  return pl.pallas_call(
+    _shear_sample_kernel,
+    out_shape=jax.ShapeDtypeStruct((STATE_H, STATE_W), jnp.float32),
+    interpret=jax.default_backend() not in ("tpu",),
+  )(w_q, s1.reshape(1, s_dim), s2.reshape(1, s_dim),
+    s3.reshape(1, s_dim), s4.reshape(1, s_dim),
+    rows.reshape(1, STATE_H), cols.reshape(1, STATE_W))
+
+
+def _sample_rotated(
+  window: jax.Array,     # [S, S] palette+1 values (0 = outside/black)
+  m_col_i: jax.Array,    # d(by,bx)/di  [2]
+  m_col_j: jax.Array,    # d(by,bx)/dj  [2]
+  q0: jax.Array,         # (by, bx) of out pixel (0,0), window coords [2]
+) -> jax.Array:
+  """96x96 nearest sampling along the affine p -> M p + q0 without any
+  gather: QR-factor M = Rot(phi) @ [[u00, u01], [0, u11]], realize the
+  rotation with quadrant rot90 + integer 3-shear, the residual u01 shear
+  with per-column rolls, and the final diagonal scale/translate with two
+  one-hot matmuls."""
+  s_dim = window.shape[0]
+  c = (s_dim - 1) / 2.0
+  phi = jnp.arctan2(m_col_i[1], m_col_i[0])
+  # sampling-convention rotation angle, folded into quadrant + residual
+  theta = -phi
+  k = jnp.round(theta / (jnp.pi / 2)).astype(jnp.int32)
+  theta_res = theta - k.astype(jnp.float32) * (jnp.pi / 2)
+  km = jnp.mod(k, 4)
+  w_q = (
+    jnp.where(km == 0, window, 0)
+    + jnp.where(km == 1, jnp.rot90(window, k=1), 0)
+    + jnp.where(km == 2, jnp.rot90(window, k=2), 0)
+    + jnp.where(km == 3, jnp.rot90(window, k=3), 0)
+  )
+  # shear shift vectors for the fused kernel (rotation by theta_res as
+  # row/col/row passes, cf. _rot_shear)
+  a = jnp.tan(theta_res / 2)
+  b = -jnp.sin(theta_res)
+  rr = jnp.arange(s_dim) - c
+  ccg = jnp.arange(s_dim) - c
+  s1 = jnp.round(a * rr).astype(jnp.int32)
+  s2 = jnp.round(b * ccg).astype(jnp.int32)
+  s3 = s1
+  # upper-triangular factor U = Rot(-phi) @ M
+  rot = jnp.asarray(
+    [[jnp.cos(phi), jnp.sin(phi)], [-jnp.sin(phi), jnp.cos(phi)]]
+  )  # Rot(-phi)
+  r0 = rot @ (q0 - c) + c
+  u_i = rot @ m_col_i      # (u00, ~0)
+  u_j = rot @ m_col_j      # (u01, u11)
+  u00, u01, u11 = u_i[0], u_j[0], u_j[1]
+  # residual shear: sampled row = r0y + u00 i + u01 j with col
+  # cc(j) = r0x + u11 j; shift columns vertically so rows decouple from j
+  cc = jnp.arange(s_dim).astype(jnp.float32)
+  s4 = -jnp.round(u01 / u11 * (cc - r0[1])).astype(jnp.int32)
+  rows = jnp.round(
+    r0[0] + u00 * jnp.arange(STATE_H)
+  ).astype(jnp.int32)                                   # [96]
+  cols = jnp.round(
+    r0[1] + u11 * jnp.arange(STATE_W)
+  ).astype(jnp.int32)                                   # [96]
+  out = _shear_sample(
+    w_q.astype(jnp.bfloat16), s1, s2, s3, s4, rows, cols
+  )
+  return jnp.round(out).astype(jnp.int32)
+
+
+def _render_v2_impl(
+  cls,
+  bitmaps_all, coarse_all, track_id, pos, vel, angle, omega,
+  wheel_pos_local, joint_angle, wheel_omega, t,
+) -> jax.Array:
+  """Gather-free 96x96x3 render. Same view transform as ``_render``; the
+  background sample runs through ``_sample_rotated`` against either the
+  fine bitmap (steady zoom) or the coarse full-playfield mipmap (the
+  first-second zoom animation), selected per env."""
+  from .car_track import COARSE_RES
+
+  view_angle = -angle
+  zoom = (
+    0.1 * SCALE * jnp.maximum(1.0 - t, 0.0)
+    + ZOOM * SCALE * jnp.minimum(t, 1.0)
+  )
+  scroll = -pos * zoom
+  rot_v = _rot(view_angle)
+  trans = rot_v @ scroll + jnp.asarray([WINDOW_W / 2.0, WINDOW_H / 4.0])
+
+  def world_of(i, j):
+    x_s = (j + 0.5) * (WINDOW_W / STATE_W)
+    y_s = WINDOW_H - (i + 0.5) * (WINDOW_H / STATE_H)
+    sxy = jnp.stack([x_s - trans[0], y_s - trans[1]]) / zoom
+    return sxy @ rot_v
+
+  # affine out-pixel -> bitmap (by, bx), derived numerically (no sign
+  # algebra): columns from finite differences of the exact transform
+  res_f = 2 * PLAYFIELD / BITMAP_RES
+  res_c = 2 * PLAYFIELD / COARSE_RES
+
+  def bm_coords(i, j, res):
+    w = world_of(i, j)
+    return jnp.stack([(w[1] + PLAYFIELD) / res, (w[0] + PLAYFIELD) / res])
+
+  # ---- fine path: dynamic window around the car. 192 leaves ~49 px of
+  # margin between the sampled view (+-47 px) and the circular-roll wrap
+  # zone of the shear passes (up to ~40 px).
+  s_win = 192
+  q00 = bm_coords(0.0, 0.0, res_f)
+  m_i = bm_coords(1.0, 0.0, res_f) - q00
+  m_j = bm_coords(0.0, 1.0, res_f) - q00
+  center = jnp.stack([
+    (pos[1] + PLAYFIELD) / res_f, (pos[0] + PLAYFIELD) / res_f
+  ])
+  ws = jnp.clip(
+    jnp.round(center - s_win / 2).astype(jnp.int32), 0,
+    BITMAP_RES - s_win,
+  )
+  # window extraction as two one-hot MXU matmuls (a batched dynamic_slice
+  # lowers to a serialized per-env gather, ~140us/env on TPU; two bf16
+  # matmuls against the flat bank batch perfectly on the MXU). Track
+  # selection folds into the row one-hot over the flat [T*R] row axis.
+  # Palette values <= 7, exactly one nonzero per one-hot row -> exact.
+  n_tracks_i = bitmaps_all.shape[0]
+  bm_flat = (
+    bitmaps_all.reshape(n_tracks_i * BITMAP_RES, BITMAP_RES)
+    .astype(jnp.bfloat16) + 1
+  )  # palette+1; constant, hoisted once
+  flat_rows = track_id * BITMAP_RES + ws[0] + jnp.arange(s_win)  # [s_win]
+  row_oh = (
+    flat_rows[:, None]
+    == jnp.arange(n_tracks_i * BITMAP_RES)[None, :]
+  ).astype(jnp.bfloat16)
+  col_oh = (
+    jnp.arange(BITMAP_RES)[:, None] == (ws[1] + jnp.arange(s_win))[None, :]
+  ).astype(jnp.bfloat16)
+  fine = jnp.dot(
+    jnp.dot(row_oh, bm_flat, preferred_element_type=jnp.float32
+            ).astype(jnp.bfloat16),
+    col_oh, preferred_element_type=jnp.float32,
+  ).astype(jnp.int32)
+  idx_fine = _sample_rotated(
+    fine, m_i, m_j, q00 - ws.astype(jnp.float32)
+  )
+
+  # ---- coarse path: whole playfield mipmap, no slicing
+  q00c = bm_coords(0.0, 0.0, res_c)
+  m_ic = bm_coords(1.0, 0.0, res_c) - q00c
+  m_jc = bm_coords(0.0, 1.0, res_c) - q00c
+  coarse = jnp.where(
+    (jnp.arange(coarse_all.shape[0]) == track_id)[:, None, None],
+    coarse_all, 0,
+  ).sum(0).astype(jnp.int32) + 1
+  pad_c = (256 - COARSE_RES) // 2
+  coarse = jnp.pad(coarse, pad_c)  # zero margin absorbs roll wrap
+  idx_coarse = _sample_rotated(
+    coarse, m_ic, m_jc, q00c + pad_c
+  )
+
+  # steady zoom covers <= s_win * res_f meters per axis; else coarse
+  view_w = STATE_W * (WINDOW_W / STATE_W) / zoom          # world meters
+  use_fine = view_w * 1.5 < s_win * res_f
+  color_idx1 = jnp.where(use_fine, idx_fine, idx_coarse)  # palette+1; 0=black
+
+  # palette with the +1 shift; 0 stays black
+  img = jnp.zeros((*color_idx1.shape, 3), jnp.uint8)
+  for k in range(len(PALETTE)):
+    img = jnp.where(
+      (color_idx1 == k + 1)[..., None],
+      jnp.asarray(PALETTE[k], jnp.uint8), img,
+    )
+
+  # car + indicator overlays: identical to the gather renderer
+  jj, ii = jnp.meshgrid(jnp.arange(STATE_W), jnp.arange(STATE_H))
+  x_s = (jj + 0.5) * (WINDOW_W / STATE_W)
+  y_s = WINDOW_H - (ii + 0.5) * (WINDOW_H / STATE_H)
+  sxy = jnp.stack([x_s - trans[0], y_s - trans[1]], axis=-1) / zoom
+  world = sxy @ rot_v
+  img = cls._overlays(
+    img, world, ii, jj, pos, vel, angle, omega, wheel_pos_local,
+    joint_angle, wheel_omega,
+  )
+  return img
+
+
+CarRacingEnv._render_v2 = classmethod(_render_v2_impl)

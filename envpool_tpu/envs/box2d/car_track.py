@@ -274,6 +274,9 @@ def _rasterize(tiles, colors, border_quads, border_colors) -> np.ndarray:
   return bitmap
 
 
+COARSE_RES = 128  # full-playfield mipmap for the zoom-out animation
+
+
 def generate_bank(seed: int, n_tracks: int, max_tiles: int = 460):
   """Stack n_tracks into padded arrays for device residence."""
   rng = np.random.default_rng(np.random.SeedSequence([seed, 0xCA2]))
@@ -283,12 +286,15 @@ def generate_bank(seed: int, n_tracks: int, max_tiles: int = 460):
   centers = np.full((n_tracks, tmax, 2), 1e6, np.float32)
   n_tiles = np.zeros(n_tracks, np.int32)
   bitmaps = np.zeros((n_tracks, BITMAP_RES, BITMAP_RES), np.uint8)
+  coarse = np.zeros((n_tracks, COARSE_RES, COARSE_RES), np.uint8)
   init = np.zeros((n_tracks, 3), np.float32)  # angle, x, y
+  stride = BITMAP_RES // COARSE_RES
   for i, t in enumerate(tracks):
     k = min(t.n_tiles, tmax)
     tiles[i, :k] = t.tiles[:k]
     centers[i, :k] = t.centers[:k]
     n_tiles[i] = k
     bitmaps[i] = t.bitmap
+    coarse[i] = t.bitmap[::stride, ::stride]
     init[i] = (t.init_angle, *t.init_xy)
-  return tiles, centers, n_tiles, bitmaps, init
+  return tiles, centers, n_tiles, bitmaps, coarse, init
