@@ -14,9 +14,9 @@ threads with an Atari-style frame pipeline). Implemented here:
   .lmp demo recording via ``lmp_save_dir``;
 - the 16 game-variable info fields.
 
-Not implemented: ``use_combined_action`` discretization (raise) — pass the
-raw button vector instead; the delta-button configs only matter for that
-path.
+- ``use_combined_action`` discretization: the admissible-combination
+  enumeration lives in ``action_set.py`` (pure, unit-tested without the
+  wheel); the env maps the discrete id to its button row on the host.
 
 NOTE: ``vizdoom`` is not installed in CI; this module is import-gated.
 """
@@ -31,6 +31,8 @@ import numpy as np
 
 from envpool_tpu.core.host_pool import HostEnv
 from envpool_tpu.core.spec import ArraySpec
+
+from .action_set import build_action_set
 
 INFO_VARS = [
   "AMMO2", "AMMO3", "AMMO4", "AMMO5", "AMMO6", "AMMO7", "ARMOR",
@@ -55,12 +57,12 @@ def _screen_channels(cfg_path: str) -> int:
 
 
 @functools.lru_cache(maxsize=64)
-def _num_buttons(cfg_path: str) -> int:
+def _available_buttons(cfg_path: str) -> tuple:
   import vizdoom
   dg = vizdoom.DoomGame()
   if cfg_path:
     dg.load_config(cfg_path)
-  return len(dg.get_available_buttons())
+  return tuple(b.name for b in dg.get_available_buttons())
 
 
 def _resize_area(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
@@ -79,7 +81,8 @@ class VizdoomEnv(HostEnv):
       "img_height": 84, "img_width": 84, "stack_num": 4, "frame_skip": 4,
       "lmp_save_dir": "", "episodic_life": False, "force_speed": False,
       "use_combined_action": False, "use_inter_area_resize": True,
-      "weapon_duration": 5, "cfg_path": "", "wad_path": "",
+      "weapon_duration": 5, "delta_button_config": (),
+      "cfg_path": "", "wad_path": "",
       "iwad_path": "", "game_args": "", "map_id": "map01",
     }
 
@@ -99,14 +102,13 @@ class VizdoomEnv(HostEnv):
 
   @staticmethod
   def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    buttons = _available_buttons(str(cfg.cfg_path))
     if cfg.use_combined_action:
-      raise NotImplementedError(
-        "use_combined_action discretization is not implemented in the "
-        "TPU build; pass the raw button vector (use_combined_action=False)."
-      )
-    return {
-      "action": ArraySpec(np.float64, (-1, _num_buttons(str(cfg.cfg_path))))
-    }
+      n = len(build_action_set(
+        buttons, bool(cfg.force_speed), dict(cfg.delta_button_config)
+      ))
+      return {"action": ArraySpec(np.int32, (-1,), 0, n - 1)}
+    return {"action": ArraySpec(np.float64, (-1, len(buttons)))}
 
   def __init__(self, cfg: Any, env_id: int) -> None:
     super().__init__(cfg, env_id)
@@ -138,6 +140,13 @@ class VizdoomEnv(HostEnv):
     self.reward_cfg = DEFAULT_REWARD_CONFIG
     self.prev_vars: Dict[str, float] = {}
     self.episode_idx = 0
+    if cfg.use_combined_action:
+      self.action_set = build_action_set(
+        [b.name for b in dg.get_available_buttons()],
+        bool(cfg.force_speed), dict(cfg.delta_button_config),
+      )
+    else:
+      self.action_set = None
 
   # ---------------------------------------------------------------- helpers
 
@@ -204,7 +213,10 @@ class VizdoomEnv(HostEnv):
     return self._obs(), self._info()
 
   def step(self, action):
-    buttons = [float(a) for a in np.asarray(action).ravel()]
+    if self.action_set is not None:
+      buttons = list(self.action_set[int(np.asarray(action).ravel()[0])])
+    else:
+      buttons = [float(a) for a in np.asarray(action).ravel()]
     self.dg.make_action(buttons, int(self.cfg.frame_skip))
     done = bool(self.dg.is_episode_finished())
     if self.cfg.episodic_life:
