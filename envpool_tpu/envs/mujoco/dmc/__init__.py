@@ -11,6 +11,7 @@ from .domains import (
   DmcFingerEnv,
   DmcFishEnv,
   DmcHopperEnv,
+  DmcHumanoidCMUEnv,
   DmcHumanoidEnv,
   DmcManipulatorEnv,
   DmcPendulumEnv,
@@ -24,7 +25,8 @@ __all__ = []
 
 for _env_cls in (
   DmcAcrobotEnv, DmcBallInCupEnv, DmcCartpoleEnv, DmcCheetahEnv,
-  DmcFingerEnv, DmcFishEnv, DmcHopperEnv, DmcHumanoidEnv,
+  DmcFingerEnv, DmcFishEnv, DmcHopperEnv, DmcHumanoidCMUEnv,
+  DmcHumanoidEnv,
   DmcManipulatorEnv, DmcPendulumEnv, DmcPointMassEnv,
   DmcReacherEnv, DmcSwimmerEnv, DmcWalkerEnv,
 ):

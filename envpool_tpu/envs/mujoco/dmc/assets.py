@@ -906,3 +906,191 @@ def manipulator_xml(task_name: str) -> str:
     <touch name="thumbtip_touch" site="thumbtip_site"/>
   </sensor>
 </mujoco>"""
+
+
+def humanoid_cmu_xml() -> str:
+  """CMU-skeleton humanoid (56 actuated DOF, nq=63, nv=62).
+
+  Structural replica of the skeleton the reference's humanoid_CMU domain
+  drives (``envpool/mujoco/dmc/humanoid_CMU.h``; dm_control
+  ``humanoid_CMU.xml``): CMU mocap joint set and naming
+  (``{l,r}{femur,tibia,foot,toes,clavicle,humerus,radius,wrist,hand,
+  fingers,thumb}`` + 3-dof spine/neck chain), torque actuation with
+  ctrlrange [-1, 1], a ``thorax_subtreelinvel`` sensor, and the body
+  names the task reads (head/thorax/{l,r}hand/{l,r}foot). Geometry is a
+  proportionate re-derivation, not a copy of the CMU ASF numbers.
+  """
+
+  def leg(s: str, y: float) -> str:
+    return f"""
+      <body name="{s}femur" pos="0 {y * 0.095:.3f} -0.05">
+        <joint name="{s}femurrx" axis="0 1 0" range="-160 20"
+               damping="5" stiffness="10"/>
+        <joint name="{s}femurry" axis="1 0 0" range="-70 70"
+               damping="5" stiffness="10"/>
+        <joint name="{s}femurrz" axis="0 0 1" range="-60 60"
+               damping="5" stiffness="10"/>
+        <geom name="{s}femur" type="capsule"
+              fromto="0 0 0 0 0 -0.38" size="0.06"/>
+        <body name="{s}tibia" pos="0 0 -0.38">
+          <joint name="{s}tibiarx" axis="0 1 0" range="-3 170"
+                 damping="3"/>
+          <geom name="{s}tibia" type="capsule"
+                fromto="0 0 0 0 0 -0.38" size="0.045"/>
+          <body name="{s}foot" pos="0 0 -0.38">
+            <joint name="{s}footrx" axis="0 1 0" range="-45 45"
+                   stiffness="6"/>
+            <joint name="{s}footrz" axis="0 0 1" range="-20 20"
+                   stiffness="3"/>
+            <geom name="{s}foot" type="capsule"
+                  fromto="-0.03 0 -0.03 0.12 0 -0.03" size="0.03"/>
+            <body name="{s}toes" pos="0.14 0 -0.03">
+              <joint name="{s}toesrx" axis="0 1 0" range="-45 20"/>
+              <geom name="{s}toes" type="capsule"
+                    fromto="0 0 0 0.05 0 0" size="0.025"/>
+            </body>
+          </body>
+        </body>
+      </body>"""
+
+  def arm(s: str, y: float) -> str:
+    return f"""
+        <body name="{s}clavicle" pos="0 {y * 0.02:.3f} 0.04">
+          <joint name="{s}claviclery" axis="1 0 0" range="-20 20"/>
+          <joint name="{s}claviclerz" axis="0 0 1" range="-20 20"/>
+          <geom name="{s}clavicle" type="capsule"
+                fromto="0 0 0 0 {y * 0.17:.3f} 0.02" size="0.04"/>
+          <body name="{s}humerus" pos="0 {y * 0.19:.3f} 0.02">
+            <joint name="{s}humerusrx" axis="0 1 0" range="-90 90"/>
+            <joint name="{s}humerusry" axis="1 0 0" range="-90 90"/>
+            <joint name="{s}humerusrz" axis="0 0 1" range="-90 90"/>
+            <geom name="{s}humerus" type="capsule"
+                  fromto="0 0 0 0 {y * 0.02:.3f} -0.26" size="0.04"/>
+            <body name="{s}radius" pos="0 {y * 0.02:.3f} -0.26">
+              <joint name="{s}radiusrx" axis="0 1 0" range="-170 3"/>
+              <geom name="{s}radius" type="capsule"
+                    fromto="0 0 0 0 0 -0.22" size="0.035"/>
+              <body name="{s}wrist" pos="0 0 -0.22">
+                <joint name="{s}wristry" axis="0 0 1" range="-90 90"/>
+                <geom name="{s}wrist" type="capsule"
+                      fromto="0 0 0 0 0 -0.05" size="0.03"/>
+                <body name="{s}hand" pos="0 0 -0.06">
+                  <joint name="{s}handrx" axis="0 1 0" range="-45 45"/>
+                  <joint name="{s}handrz" axis="1 0 0" range="-45 45"/>
+                  <geom name="{s}hand" type="sphere" size="0.03"
+                        pos="0 0 -0.02"/>
+                  <body name="{s}fingers" pos="0 0 -0.05">
+                    <joint name="{s}fingersrx" axis="0 1 0"
+                           range="-5 90"/>
+                    <geom name="{s}fingers" type="capsule"
+                          fromto="0 0 0 0 0 -0.04" size="0.02"/>
+                  </body>
+                  <body name="{s}thumb" pos="0.02 0 -0.03">
+                    <joint name="{s}thumbrx" axis="0 1 0" range="-45 45"/>
+                    <joint name="{s}thumbrz" axis="0 0 1" range="-45 45"/>
+                    <geom name="{s}thumb" type="capsule"
+                          fromto="0 0 0 0.03 0 -0.02" size="0.015"/>
+                  </body>
+                </body>
+              </body>
+            </body>
+          </body>
+        </body>"""
+
+  def spine(name: str, z: float, rng: str, half_y: float, r: float,
+            inner: str) -> str:
+    return f"""
+      <body name="{name}" pos="0 0 {z}">
+        <joint name="{name}rx" axis="0 1 0" range="{rng}"
+               damping="5" stiffness="20"/>
+        <joint name="{name}ry" axis="1 0 0" range="{rng}"
+               damping="5" stiffness="20"/>
+        <joint name="{name}rz" axis="0 0 1" range="{rng}"
+               damping="5" stiffness="20"/>
+        <geom name="{name}" type="capsule"
+              fromto="0 {-half_y} 0 0 {half_y} 0" size="{r}"/>
+        {inner}
+      </body>"""
+
+  head = """
+      <body name="head" pos="0 0 0.09">
+        <joint name="headrx" axis="0 1 0" range="-45 45"/>
+        <joint name="headry" axis="1 0 0" range="-45 45"/>
+        <joint name="headrz" axis="0 0 1" range="-45 45"/>
+        <geom name="head" type="sphere" size="0.08" pos="0 0 0.03"/>
+      </body>"""
+  upperneck = spine("upperneck", 0.08, "-30 30", 0.02, 0.035, head)
+  lowerneck = spine("lowerneck", 0.12, "-30 30", 0.03, 0.04, upperneck)
+  thorax = spine(
+    "thorax", 0.11, "-20 20", 0.07, 0.065,
+    arm("l", 1.0) + arm("r", -1.0) + lowerneck,
+  )
+  upperback = spine("upperback", 0.11, "-30 30", 0.06, 0.06, thorax)
+  lowerback = spine("lowerback", 0.10, "-30 45", 0.06, 0.065, upperback)
+
+  gears = {
+    "femurrx": 120, "femurry": 80, "femurrz": 60, "tibiarx": 80,
+    "footrx": 40, "footrz": 20, "toesrx": 20,
+    "claviclery": 40, "claviclerz": 40,
+    "humerusrx": 40, "humerusry": 40, "humerusrz": 40, "radiusrx": 40,
+    "wristry": 10, "handrx": 10, "handrz": 10, "fingersrx": 5,
+    "thumbrx": 5, "thumbrz": 5,
+  }
+  motors = []
+  for side in ("l", "r"):
+    for j in ("femurrx", "femurry", "femurrz", "tibiarx", "footrx",
+              "footrz", "toesrx"):
+      motors.append((side + j, gears[j]))
+  for seg, g in (("lowerback", 60), ("upperback", 60), ("thorax", 60),
+                 ("lowerneck", 20), ("upperneck", 20), ("head", 20)):
+    for ax in ("rx", "ry", "rz"):
+      motors.append((seg + ax, g))
+  for side in ("l", "r"):
+    for j in ("claviclery", "claviclerz", "humerusrx", "humerusry",
+              "humerusrz", "radiusrx", "wristry", "handrx", "handrz",
+              "fingersrx", "thumbrx", "thumbrz"):
+      motors.append((side + j, gears[j]))
+  actuators = "\n".join(
+    f'    <motor name="{j}" joint="{j}" gear="{g}"/>' for j, g in motors
+  )
+
+  return f"""
+<mujoco model="humanoid_CMU">
+  <option timestep="0.002"/>
+  <compiler angle="degree"/>
+  <default>
+    <joint type="hinge" damping="0.5" armature="0.02" limited="true"
+           solimplimit="0 0.99 0.01"/>
+    <geom condim="1" friction="0.7" solimp="0.9 0.99 0.003"
+          solref="0.015 1"/>
+    <motor ctrllimited="true" ctrlrange="-1 1"/>
+  </default>
+  <worldbody>
+    <geom name="floor" type="plane" pos="0 0 0" size="10 10 0.2"
+          condim="3"/>
+    <body name="root" pos="0 0 1.0">
+      <joint name="root" type="free" limited="false" damping="0"
+             armature="0"/>
+      <geom name="pelvis" type="capsule" fromto="0 -0.08 0 0 0.08 0"
+            size="0.09"/>
+      {leg("l", 1.0)}
+      {leg("r", -1.0)}
+      {lowerback}
+    </body>
+  </worldbody>
+  <actuator>
+{actuators}
+  </actuator>
+  <contact>
+    <exclude body1="lclavicle" body2="rclavicle"/>
+    <exclude body1="lclavicle" body2="lowerneck"/>
+    <exclude body1="rclavicle" body2="lowerneck"/>
+    <exclude body1="lwrist" body2="lthumb"/>
+    <exclude body1="rwrist" body2="rthumb"/>
+    <exclude body1="lfingers" body2="lthumb"/>
+    <exclude body1="rfingers" body2="rthumb"/>
+  </contact>
+  <sensor>
+    <subtreelinvel name="thorax_subtreelinvel" body="thorax"/>
+  </sensor>
+</mujoco>"""

@@ -1004,6 +1004,107 @@ class DmcHumanoidEnv(DmcEnv):
     return obs
 
 
+
+class DmcHumanoidCMUEnv(DmcEnv):
+  """dmc humanoid_CMU stand/run (``envpool/mujoco/dmc/humanoid_CMU.h``).
+
+  56-DOF CMU-mocap skeleton (``assets.humanoid_cmu_xml``); reward is the
+  humanoid recipe on the thorax/head bodies: standing (head above 1.4) x
+  linear-upright (thorax z-y) x small-control, times dont_move (stand) or
+  the (5*move+1)/6 com-speed term (run, target 10 m/s)."""
+
+  name = "DmcHumanoidCMU"
+  model_xml = assets.humanoid_cmu_xml()
+  _STAND_HEIGHT = 1.4
+  _SPEEDS = {"stand": 0.0, "run": 10.0}
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {"frame_skip": 10, "task_name": "stand"}
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {
+      "obs:joint_angles": ArraySpec(np.float64, (56,)),
+      "obs:head_height": ArraySpec(np.float64, ()),
+      "obs:extremities": ArraySpec(np.float64, (12,)),
+      "obs:torso_vertical": ArraySpec(np.float64, (3,)),
+      "obs:com_velocity": ArraySpec(np.float64, (3,)),
+      "obs:velocity": ArraySpec(np.float64, (62,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float64, (-1, 56), -1.0, 1.0)}
+
+  def __init__(self, cfg: Any, env_id: int) -> None:
+    super().__init__(cfg, env_id)
+    if self.task_name not in self._SPEEDS:
+      raise RuntimeError(
+        f"Unknown task_name {self.task_name} for dmc humanoid_CMU."
+      )
+    self.move_speed = self._SPEEDS[self.task_name]
+    self.id_head = self.body_id("head")
+    self.id_thorax = self.body_id("thorax")
+    self.id_ext = [
+      self.body_id(b) for b in ("lhand", "lfoot", "rhand", "rfoot")
+    ]
+    self.id_speed = self.sensor_id("thorax_subtreelinvel")
+
+  def task_initialize_episode(self) -> None:
+    # collision-free random configuration (humanoid_CMU.h:110-123)
+    for _ in range(100):
+      self.randomize_limited_and_rotational_joints()
+      self._forward_no_actuation()
+      if self.data.ncon <= 0:
+        break
+
+  def _com_velocity(self) -> np.ndarray:
+    s = self.id_speed
+    return np.copy(self.data.sensordata[s:s + 3])
+
+  def task_get_reward(self) -> float:
+    head = float(self.data.xpos[self.id_head, 2])
+    standing = tolerance(
+      head, self._STAND_HEIGHT, _INF, self._STAND_HEIGHT / 4
+    )
+    # thorax 'zy' component (humanoid_CMU.h:199-202)
+    upright_v = float(self.data.xmat[self.id_thorax].reshape(3, 3)[2, 1])
+    upright = tolerance(upright_v, 0.9, _INF, 1.9, 0.0, LINEAR)
+    stand_reward = standing * upright
+    small_control = float(np.mean([
+      tolerance(c, 0.0, 0.0, 1.0, 0.0, QUADRATIC) for c in self.data.ctrl
+    ]))
+    small_control = (small_control + 4.0) / 5.0
+    comv = self._com_velocity()
+    if self.move_speed == 0:
+      dont_move = sum(
+        0.5 * tolerance(float(v), 0.0, 0.0, 2.0) for v in comv[:2]
+      )
+      return float(small_control * stand_reward * dont_move)
+    speed = float(np.hypot(comv[0], comv[1]))
+    move = tolerance(
+      speed, self.move_speed, _INF, self.move_speed, 0.0, LINEAR
+    )
+    move = (5.0 * move + 1.0) / 6.0
+    return float(small_control * stand_reward * move)
+
+  def task_observation(self) -> Dict[str, np.ndarray]:
+    torso_frame = self.data.xmat[self.id_thorax].reshape(3, 3)
+    torso_pos = self.data.xpos[self.id_thorax]
+    ext = []
+    for b in self.id_ext:
+      ext += list((self.data.xpos[b] - torso_pos) @ torso_frame)
+    return {
+      "joint_angles": np.copy(self.data.qpos[7:]),
+      "head_height": np.float64(self.data.xpos[self.id_head, 2]),
+      "extremities": np.asarray(ext),
+      "torso_vertical": np.copy(torso_frame[2]),
+      "com_velocity": self._com_velocity(),
+      "velocity": np.copy(self.data.qvel),
+    }
+
+
 class DmcManipulatorEnv(DmcEnv):
   """dmc manipulator bring/insert ball/peg
   (``envpool/mujoco/dmc/manipulator.h``)."""

