@@ -529,38 +529,58 @@ def _rot_shear(w: jax.Array, theta: jax.Array) -> jax.Array:
   return w
 
 
-def _shear_sample_kernel(
-  w_ref, s1_ref, s2_ref, s3_ref, s4_ref, rows_ref, cols_ref, out_ref
+def _fused_render_kernel(
+  scal_ref, bank_ref, s1_ref, s2_ref, s3_ref, s4_ref, rows_ref, cols_ref,
+  out_ref, win_ref, sem,
 ):
-  """Fused pallas kernel: 3 rotation shears + residual shear + one-hot
-  scale matmuls, all VMEM-resident (XLA materializes each roll of the
-  chain to HBM; fusing by hand keeps one read + one write per env)."""
-  w = w_ref[...]
-  s_dim = w.shape[0]
+  """Fully fused per-env background sampler.
 
+  Grid is (num_envs,). Per grid step: DMA the env's [S, S] window out of
+  the HBM-resident bitmap bank at a scalar-prefetched dynamic offset
+  (a batched ``dynamic_slice``/one-hot-matmul fetch costs ~140us/env or
+  ~1.6 GFLOP/env respectively; the DMA moves exactly 2*S*S bytes), then
+  run the whole sampling chain in VMEM: quadrant rot90 fold, the
+  3-shear rotation + residual shear as barrel-shifted rolls, and the
+  final one-hot scale/translate matmuls on the MXU."""
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  e = pl.program_id(0)
+  # scal carries offsets in tile units (rows/8, cols/128): multiplying
+  # back in-kernel lets Mosaic PROVE the DMA offsets are tile-aligned
+  # (a plain runtime value fails its divisibility check). The quadrant
+  # rotation is already baked into the bank (4 pre-rotated copies), so
+  # the kernel is pure DMA -> shears -> sampling matmuls.
+  r0 = scal_ref[e, 0] * 8
+  c0 = scal_ref[e, 1] * 128
+  s_dim = win_ref.shape[0]
+  copy = pltpu.make_async_copy(
+    bank_ref.at[pl.ds(r0, s_dim), pl.ds(c0, s_dim)], win_ref, sem
+  )
+  copy.start()
+  copy.wait()
+  w = win_ref[...]
+  n_bits = max(1, (s_dim - 1).bit_length())
+
+  # per-row/col circular shift as a binary barrel shifter: 8 conditional
+  # power-of-two rolls instead of a 16+12 two-level merge — ~3.5x less
+  # generated vector code (the two-level variant took Mosaic ~8 min to
+  # compile at this window size; execution cost is the same)
   def row_pass(w, shifts_2d):           # shift along axis 1, per row
     sh = jnp.mod(shifts_2d, s_dim).reshape(s_dim, 1)
-    lo = jnp.mod(sh, 16)
-    hi = sh // 16
-    acc = jnp.where(lo == 0, w, jnp.zeros_like(w))
-    for l in range(1, 16):
-      acc = jnp.where(lo == l, jnp.roll(w, l, axis=1), acc)
-    out = jnp.where(hi == 0, acc, jnp.zeros_like(w))
-    for h in range(1, s_dim // 16):
-      out = jnp.where(hi == h, jnp.roll(acc, 16 * h, axis=1), out)
-    return out
+    acc = w
+    for b in range(n_bits):
+      bit = (sh >> b) & 1
+      acc = jnp.where(bit == 1, jnp.roll(acc, 1 << b, axis=1), acc)
+    return acc
 
   def col_pass(w, shifts_2d):           # shift along axis 0, per column
     sh = jnp.mod(shifts_2d, s_dim).reshape(1, s_dim)
-    lo = jnp.mod(sh, 16)
-    hi = sh // 16
-    acc = jnp.where(lo == 0, w, jnp.zeros_like(w))
-    for l in range(1, 16):
-      acc = jnp.where(lo == l, jnp.roll(w, l, axis=0), acc)
-    out = jnp.where(hi == 0, acc, jnp.zeros_like(w))
-    for h in range(1, s_dim // 16):
-      out = jnp.where(hi == h, jnp.roll(acc, 16 * h, axis=0), out)
-    return out
+    acc = w
+    for b in range(n_bits):
+      bit = (sh >> b) & 1
+      acc = jnp.where(bit == 1, jnp.roll(acc, 1 << b, axis=0), acc)
+    return acc
 
   w = row_pass(w, s1_ref[...])
   w = col_pass(w, s2_ref[...])
@@ -573,72 +593,146 @@ def _shear_sample_kernel(
   iota_s_col = jax.lax.broadcasted_iota(jnp.int32, (s_dim, STATE_W), 0)
   row_oh = (rows == iota_s_row).astype(jnp.bfloat16)
   col_oh = (iota_s_col == cols).astype(jnp.bfloat16)
-  out_ref[...] = jnp.dot(
+  out_ref[0] = jnp.dot(
     jnp.dot(row_oh, w, preferred_element_type=jnp.float32
             ).astype(jnp.bfloat16),
     col_oh, preferred_element_type=jnp.float32,
   )
 
 
-def _shear_sample(w_q, s1, s2, s3, s4, rows, cols):
-  """One env: [S, S] bf16 window + shift vectors -> [96, 96] f32."""
+def _fused_sample_batched(bank_flat, scal, s1, s2, s3, s4, rows, cols):
+  """[N]-env batched sampler: one pallas call, grid over envs."""
   from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
 
-  s_dim = w_q.shape[0]
+  n = scal.shape[0]
+  s_dim = s1.shape[-1]
+  # unit middle dim so each block's trailing dims equal the array's
+  # (Mosaic requires trailing block dims divisible by (8, 128) or full)
+  env_block = lambda w: pl.BlockSpec((1, 1, w), lambda i, s: (i, 0, 0))
+  grid_spec = pltpu.PrefetchScalarGridSpec(
+    num_scalar_prefetch=1,
+    grid=(n,),
+    in_specs=[
+      pl.BlockSpec(memory_space=pltpu.ANY),     # bitmap bank stays in HBM
+      env_block(s_dim), env_block(s_dim), env_block(s_dim),
+      env_block(s_dim), env_block(STATE_H), env_block(STATE_W),
+    ],
+    out_specs=pl.BlockSpec(
+      (1, STATE_H, STATE_W), lambda i, s: (i, 0, 0)
+    ),
+    scratch_shapes=[
+      pltpu.VMEM((s_dim, s_dim), jnp.bfloat16),
+      pltpu.SemaphoreType.DMA(()),
+    ],
+  )
   return pl.pallas_call(
-    _shear_sample_kernel,
-    out_shape=jax.ShapeDtypeStruct((STATE_H, STATE_W), jnp.float32),
+    _fused_render_kernel,
+    grid_spec=grid_spec,
+    out_shape=jax.ShapeDtypeStruct((n, STATE_H, STATE_W), jnp.float32),
     interpret=jax.default_backend() not in ("tpu",),
-  )(w_q, s1.reshape(1, s_dim), s2.reshape(1, s_dim),
-    s3.reshape(1, s_dim), s4.reshape(1, s_dim),
-    rows.reshape(1, STATE_H), cols.reshape(1, STATE_W))
+  )(scal, bank_flat, s1[:, None], s2[:, None], s3[:, None], s4[:, None],
+    rows[:, None], cols[:, None])
+
+
+@jax.custom_batching.custom_vmap
+def _fused_sample(bank_flat, scal, s1, s2, s3, s4, rows, cols):
+  """Single-env view of the sampler; under the engine's env vmap the
+  batch rule below lands every env in ONE pallas grid (a plain vmap of
+  the pallas call would broadcast the multi-MB bank per env)."""
+  return _fused_sample_batched(
+    bank_flat, scal[None], s1[None], s2[None], s3[None], s4[None],
+    rows[None], cols[None],
+  )[0]
+
+
+@_fused_sample.def_vmap
+def _fused_sample_vmap_rule(
+  axis_size, in_batched, bank_flat, scal, s1, s2, s3, s4, rows, cols
+):
+  del axis_size
+  assert not in_batched[0], "bitmap bank must be shared across envs"
+  out = _fused_sample_batched(bank_flat, scal, s1, s2, s3, s4, rows, cols)
+  return out, True
+
+
+# window-coordinate maps of rot90^k about the ARRAY center:
+# (r, c) in the original window lands at A_k (r, c) + b_k(S) in the
+# rotated array (the kernel realizes the same rot90 with exchange-matrix
+# matmuls, so the affine must be conjugated through it)
+_QUAD_A = np.asarray([
+  [[1, 0], [0, 1]],
+  [[0, -1], [1, 0]],
+  [[-1, 0], [0, -1]],
+  [[0, 1], [-1, 0]],
+], np.float32)
+
+
+def _quad_b(s_dim: int) -> np.ndarray:
+  m = float(s_dim - 1)
+  return np.asarray([[0, 0], [m, 0], [m, m], [0, m]], np.float32)
 
 
 def _sample_rotated(
-  window: jax.Array,     # [S, S] palette+1 values (0 = outside/black)
-  m_col_i: jax.Array,    # d(by,bx)/di  [2]
-  m_col_j: jax.Array,    # d(by,bx)/dj  [2]
-  q0: jax.Array,         # (by, bx) of out pixel (0,0), window coords [2]
+  bank_rot_flat: jax.Array,  # [4*T*S, S] bf16 palette+1 bank: the four
+                             # rot90^k copies of every track (0 = black)
+  track_id: jax.Array,       # scalar
+  s_full: int,               # static per-track bitmap size S
+  s_win: int,                # static DMA window size (== s_full to skip
+                             # windowing, e.g. the coarse mipmap)
+  m_col_i: jax.Array,        # d(by,bx)/di  [2], full-bitmap coords
+  m_col_j: jax.Array,        # d(by,bx)/dj  [2]
+  q0: jax.Array,             # (by, bx) of out pixel (0,0), full coords
+  pivot: jax.Array,          # rotation pivot in full coords (the car;
+                             # small shear shifts need it near the view)
 ) -> jax.Array:
   """96x96 nearest sampling along the affine p -> M p + q0 without any
-  gather: QR-factor M = Rot(phi) @ [[u00, u01], [0, u11]], realize the
-  rotation with quadrant rot90 + integer 3-shear, the residual u01 shear
-  with per-column rolls, and the final diagonal scale/translate with two
-  one-hot matmuls."""
-  s_dim = window.shape[0]
-  c = (s_dim - 1) / 2.0
-  phi = jnp.arctan2(m_col_i[1], m_col_i[0])
-  # sampling-convention rotation angle, folded into quadrant + residual
-  theta = -phi
+  gather: pick the pre-rotated quadrant bank (conjugating the affine
+  exactly through the rot90), window around the mapped pivot at
+  tile-aligned offsets, then QR-factor the residual M1 = Rot(phi) @
+  [[u00, u01], [0, u11]] (|phi| <= 45deg) and realize it as integer
+  3-shear + residual shear about the pivot + one-hot scale matmuls —
+  all inside ``_fused_render_kernel`` against the DMA'd window."""
+  n_tracks = bank_rot_flat.shape[0] // (4 * s_full)
+  theta = -jnp.arctan2(m_col_i[1], m_col_i[0])
   k = jnp.round(theta / (jnp.pi / 2)).astype(jnp.int32)
-  theta_res = theta - k.astype(jnp.float32) * (jnp.pi / 2)
   km = jnp.mod(k, 4)
-  w_q = (
-    jnp.where(km == 0, window, 0)
-    + jnp.where(km == 1, jnp.rot90(window, k=1), 0)
-    + jnp.where(km == 2, jnp.rot90(window, k=2), 0)
-    + jnp.where(km == 3, jnp.rot90(window, k=3), 0)
-  )
-  # shear shift vectors for the fused kernel (rotation by theta_res as
-  # row/col/row passes, cf. _rot_shear)
+  onehot_k = (jnp.arange(4) == km).astype(jnp.float32)
+  a_k = jnp.einsum("k,kij->ij", onehot_k, jnp.asarray(_QUAD_A))
+  b_k = onehot_k @ jnp.asarray(_quad_b(s_full))
+  m1_i = a_k @ m_col_i
+  m1_j = a_k @ m_col_j
+  q1 = a_k @ q0 + b_k
+  c1 = a_k @ pivot + b_k
+  # window in the rotated bank, offsets quantized so the Mosaic DMA can
+  # prove tile alignment (rows to 8, cols to 128); the pivot then sits
+  # >= 128 px from the window's column edges
+  ci = jnp.round(c1).astype(jnp.int32)
+  ws = jnp.stack([
+    jnp.clip(((ci[0] - s_win // 2) // 8) * 8, 0, s_full - s_win),
+    jnp.clip((ci[1] // 128 - 1) * 128, 0, s_full - s_win),
+  ])
+  q1 = q1 - ws
+  c1 = c1 - ws
+  # residual rotation of the conjugated affine
+  phi = jnp.arctan2(m1_i[1], m1_i[0])
+  theta_res = -phi
   a = jnp.tan(theta_res / 2)
   b = -jnp.sin(theta_res)
-  rr = jnp.arange(s_dim) - c
-  ccg = jnp.arange(s_dim) - c
-  s1 = jnp.round(a * rr).astype(jnp.int32)
-  s2 = jnp.round(b * ccg).astype(jnp.int32)
+  s1 = jnp.round(a * (jnp.arange(s_win) - c1[0])).astype(jnp.int32)
+  s2 = jnp.round(b * (jnp.arange(s_win) - c1[1])).astype(jnp.int32)
   s3 = s1
-  # upper-triangular factor U = Rot(-phi) @ M
+  # upper-triangular factor U = Rot(-phi) @ M1
   rot = jnp.asarray(
     [[jnp.cos(phi), jnp.sin(phi)], [-jnp.sin(phi), jnp.cos(phi)]]
   )  # Rot(-phi)
-  r0 = rot @ (q0 - c) + c
-  u_i = rot @ m_col_i      # (u00, ~0)
-  u_j = rot @ m_col_j      # (u01, u11)
+  r0 = rot @ (q1 - c1) + c1
+  u_i = rot @ m1_i         # (u00, ~0)
+  u_j = rot @ m1_j         # (u01, u11)
   u00, u01, u11 = u_i[0], u_j[0], u_j[1]
   # residual shear: sampled row = r0y + u00 i + u01 j with col
   # cc(j) = r0x + u11 j; shift columns vertically so rows decouple from j
-  cc = jnp.arange(s_dim).astype(jnp.float32)
+  cc = jnp.arange(s_win).astype(jnp.float32)
   s4 = -jnp.round(u01 / u11 * (cc - r0[1])).astype(jnp.int32)
   rows = jnp.round(
     r0[0] + u00 * jnp.arange(STATE_H)
@@ -646,9 +740,9 @@ def _sample_rotated(
   cols = jnp.round(
     r0[1] + u11 * jnp.arange(STATE_W)
   ).astype(jnp.int32)                                   # [96]
-  out = _shear_sample(
-    w_q.astype(jnp.bfloat16), s1, s2, s3, s4, rows, cols
-  )
+  flat_row = (km * n_tracks + track_id) * s_full + ws[0]
+  scal = jnp.stack([flat_row // 8, ws[1] // 128])
+  out = _fused_sample(bank_rot_flat, scal, s1, s2, s3, s4, rows, cols)
   return jnp.round(out).astype(jnp.int32)
 
 
@@ -687,64 +781,49 @@ def _render_v2_impl(
     w = world_of(i, j)
     return jnp.stack([(w[1] + PLAYFIELD) / res, (w[0] + PLAYFIELD) / res])
 
-  # ---- fine path: dynamic window around the car. 192 leaves ~49 px of
-  # margin between the sampled view (+-47 px) and the circular-roll wrap
-  # zone of the shear passes (up to ~40 px).
-  s_win = 192
+  # ---- fine path: DMA'd 384^2 window around the car out of the
+  # 4-quadrant pre-rotated bank (the rot90 is baked into the bank, the
+  # residual |<=45deg| rotation runs as shears in the kernel). 384 gives
+  # both tile-quantized offsets (rows to 8, cols to 128) >=128 px of
+  # margin around the car; the view spans <=+-88 px and the shear rolls
+  # (pivoted ON the car) shift <=~40 px, so wrap contamination stays
+  # outside the view.
   q00 = bm_coords(0.0, 0.0, res_f)
   m_i = bm_coords(1.0, 0.0, res_f) - q00
   m_j = bm_coords(0.0, 1.0, res_f) - q00
   center = jnp.stack([
     (pos[1] + PLAYFIELD) / res_f, (pos[0] + PLAYFIELD) / res_f
   ])
-  ws = jnp.clip(
-    jnp.round(center - s_win / 2).astype(jnp.int32), 0,
-    BITMAP_RES - s_win,
-  )
-  # window extraction as two one-hot MXU matmuls (a batched dynamic_slice
-  # lowers to a serialized per-env gather, ~140us/env on TPU; two bf16
-  # matmuls against the flat bank batch perfectly on the MXU). Track
-  # selection folds into the row one-hot over the flat [T*R] row axis.
-  # Palette values <= 7, exactly one nonzero per one-hot row -> exact.
   n_tracks_i = bitmaps_all.shape[0]
-  bm_flat = (
-    bitmaps_all.reshape(n_tracks_i * BITMAP_RES, BITMAP_RES)
-    .astype(jnp.bfloat16) + 1
-  )  # palette+1; constant, hoisted once
-  flat_rows = track_id * BITMAP_RES + ws[0] + jnp.arange(s_win)  # [s_win]
-  row_oh = (
-    flat_rows[:, None]
-    == jnp.arange(n_tracks_i * BITMAP_RES)[None, :]
-  ).astype(jnp.bfloat16)
-  col_oh = (
-    jnp.arange(BITMAP_RES)[:, None] == (ws[1] + jnp.arange(s_win))[None, :]
-  ).astype(jnp.bfloat16)
-  fine = jnp.dot(
-    jnp.dot(row_oh, bm_flat, preferred_element_type=jnp.float32
-            ).astype(jnp.bfloat16),
-    col_oh, preferred_element_type=jnp.float32,
-  ).astype(jnp.int32)
+  bmp1 = bitmaps_all.astype(jnp.bfloat16) + 1   # palette+1; 0 = black
+  bank_fine = jnp.concatenate([
+    jnp.rot90(bmp1, k=k, axes=(1, 2)) for k in range(4)
+  ]).reshape(4 * n_tracks_i * BITMAP_RES, BITMAP_RES)
   idx_fine = _sample_rotated(
-    fine, m_i, m_j, q00 - ws.astype(jnp.float32)
+    bank_fine, track_id, BITMAP_RES, 384, m_i, m_j, q00, center
   )
 
-  # ---- coarse path: whole playfield mipmap, no slicing
+  # ---- coarse path: whole playfield mipmap, zero-padded to 256 so the
+  # barrel-shift wrap zone lands on black; pivot at the map center
   q00c = bm_coords(0.0, 0.0, res_c)
   m_ic = bm_coords(1.0, 0.0, res_c) - q00c
   m_jc = bm_coords(0.0, 1.0, res_c) - q00c
-  coarse = jnp.where(
-    (jnp.arange(coarse_all.shape[0]) == track_id)[:, None, None],
-    coarse_all, 0,
-  ).sum(0).astype(jnp.int32) + 1
   pad_c = (256 - COARSE_RES) // 2
-  coarse = jnp.pad(coarse, pad_c)  # zero margin absorbs roll wrap
+  coarse1 = jnp.pad(
+    coarse_all.astype(jnp.bfloat16) + 1,
+    ((0, 0), (pad_c, pad_c), (pad_c, pad_c)),
+  )
+  bank_coarse = jnp.concatenate([
+    jnp.rot90(coarse1, k=k, axes=(1, 2)) for k in range(4)
+  ]).reshape(4 * n_tracks_i * 256, 256)
   idx_coarse = _sample_rotated(
-    coarse, m_ic, m_jc, q00c + pad_c
+    bank_coarse, track_id, 256, 256, m_ic, m_jc, q00c + pad_c,
+    jnp.full(2, (256 - 1) / 2.0, jnp.float32),
   )
 
-  # steady zoom covers <= s_win * res_f meters per axis; else coarse
+  # steady zoom covers <= 192 * res_f meters per axis; else coarse
   view_w = STATE_W * (WINDOW_W / STATE_W) / zoom          # world meters
-  use_fine = view_w * 1.5 < s_win * res_f
+  use_fine = view_w * 1.5 < 192 * res_f
   color_idx1 = jnp.where(use_fine, idx_fine, idx_coarse)  # palette+1; 0=black
 
   # palette with the +1 shift; 0 stays black
