@@ -1,14 +1,20 @@
+# Portions derived from EnvPool (https://github.com/sail-sg/envpool),
+# Copyright 2021 Garena Online Private Limited, licensed under the
+# Apache License, Version 2.0 (http://www.apache.org/licenses/LICENSE-2.0).
+# Modifications Copyright 2026 the envpool_tpu authors, same license.
 """Flat-key <-> tree conversion and RL-API spec/space transforms.
 
-Behavioral parity targets (cited for the judge; implementation is new):
-- nested-dict / namedtuple conversion: ``envpool/python/data.py:31-67``
-- dm / gym / gymnasium spec transforms with the discrete-space heuristic
-  ``prod(|shape|)==1 && min==0 && max < 2**20``: ``envpool/python/data.py:70-123``
-- treespec construction for the dialect converters:
-  ``envpool/python/data.py:126-152``.
-
-The old ``gym`` package is optional in this build (the reference imports it
-unconditionally); its transform raises a clear error if gym is missing.
+Provenance: ``to_nested_dict``/``to_namedtuple``, the dm/gym/gymnasium spec
+transforms (incl. the discrete-space heuristic
+``prod(|shape|)==1 && min==0 && max < 2**20``) and the
+``dm_structure``/``gym_structure`` treespec builders are adapted from the
+reference's backend-agnostic Python layer, ``envpool/python/data.py:31-152``
+(Apache-2.0) — this conversion glue has no TPU-specific design to invert,
+so it is carried over with local changes (lazy ``gym``/``dm_env`` imports,
+a factored ``_is_discrete`` helper, ``ArraySpec`` instead of the pybind
+spec tuples). The old ``gym`` package is optional in this build (the
+reference imports it unconditionally); its transform raises a clear error
+if gym is missing.
 """
 
 from __future__ import annotations

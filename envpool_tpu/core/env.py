@@ -86,11 +86,16 @@ class FuncEnv:
   #: returns ``(state, obs, reward, done, trunc, info)`` where, on a terminal
   #: transition, ``state``/``obs`` are ALREADY the next episode's initial
   #: state/obs and ``done``/``trunc`` are computed by the env itself. The pool
-  #: then never schedules a pool-level auto-reset and the elapsed_step counter
-  #: keeps running across episodes — reproducing the reference Sokoban
-  #: semantics where ``WriteState`` resets the world before writing the
-  #: terminal observation (``envpool/sokoban/sokoban_envpool.cc:198-202``)
-  #: so ``IsDone()`` is already false at the next scheduled step.
+  #: then never schedules a pool-level auto-reset — reproducing the reference
+  #: Sokoban semantics where ``WriteState`` resets the world before writing
+  #: the terminal observation (``envpool/sokoban/sokoban_envpool.cc:198-202``)
+  #: so ``IsDone()`` is already false at the next scheduled step. Because the
+  #: pool cannot see the in-step resets (nor noops that freeze the counter),
+  #: such envs report their own step counter through the reserved info key
+  #: ``"elapsed_step"`` in both ``reset`` and ``step`` infos; on a terminal
+  #: step it must be the FINISHING episode's count, exactly as the reference
+  #: writes ``elapsed_step = current_step_`` before ``ResetWithoutWrite``
+  #: (``sokoban_envpool.cc:177-216``, ``env.h:209``).
   env_resets: bool = False
 
   #: static-shape multiplayer support (SURVEY P6). When True and the pool

@@ -1,3 +1,7 @@
+# Portions derived from EnvPool (https://github.com/sail-sg/envpool),
+# Copyright 2021 Garena Online Private Limited, licensed under the
+# Apache License, Version 2.0 (http://www.apache.org/licenses/LICENSE-2.0).
+# Modifications Copyright 2026 the envpool_tpu authors, same license.
 """EnvSpec: config + schema composition for one env family.
 
 TPU-native counterpart of the C++ ``EnvSpec<EnvFns>``
@@ -6,6 +10,12 @@ TPU-native counterpart of the C++ ``EnvSpec<EnvFns>``
 the env family's own, generates the ``gen_config`` namedtuple with defaults,
 validates ``batch_size <= num_envs``, and exposes dm / gym / gymnasium
 spec & space conversions.
+
+Provenance: the ``observation_spec``/``action_spec``/``observation_space``
+conversion methods (the "obs:"/"info:" prefix filtering and 3-key action
+collapse rules) are adapted from ``envpool/python/env_spec.py:76-156``
+(Apache-2.0) — dialect-contract code kept verbatim on purpose; the class
+scaffolding around them is new.
 """
 
 from __future__ import annotations

@@ -1,4 +1,15 @@
+# Portions derived from EnvPool (https://github.com/sail-sg/envpool),
+# Copyright 2021 Garena Online Private Limited, licensed under the
+# Apache License, Version 2.0 (http://www.apache.org/licenses/LICENSE-2.0).
+# Modifications Copyright 2026 the envpool_tpu authors, same license.
 """User-facing batched API: send/recv/step/reset + dialect adapters.
+
+Provenance: ``EnvPoolMixin`` below is adapted from the reference's
+``envpool/python/envpool.py:28-174`` (Apache-2.0) — it is the user-visible
+API contract (method signatures, defaulting rules, error/deprecation
+strings) that this build promises to match verbatim, so it is carried
+over rather than re-invented; the dialect ``_to`` converters and the class
+factory below it are compact local rewrites.
 
 Behavioral parity targets:
 - action normalization, env_id defaulting, dtype casting, one-time action

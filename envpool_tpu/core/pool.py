@@ -211,7 +211,15 @@ class TpuEnvPool:
           ps.env, _unpack_action(action_full), sub
         )
         env2, obs, info = _merge_resets(st_env, st_obs, st_info)
-        elapsed = jnp.where(need_reset, 0, ps.elapsed + 1)
+        if "elapsed_step" in info:
+          # env-side-reset families report the finishing episode's step
+          # counter through this reserved info key (it restarts after the
+          # in-step auto-reset and freezes on noops — the pool cannot know
+          # either), matching elapsed_step = current_step_ written BEFORE
+          # ResetWithoutWrite (sokoban_envpool.cc:177-216, env.h:209).
+          elapsed = jnp.where(need_reset, 0, info.pop("elapsed_step"))
+        else:
+          elapsed = jnp.where(need_reset, 0, ps.elapsed + 1)
         done = jnp.where(need_reset, False, st_done.astype(jnp.bool_))
         trunc = jnp.where(need_reset, False, st_trunc.astype(jnp.bool_))
         reward = jnp.where(need_reset, 0.0, st_rew).astype(jnp.float32)

@@ -32,6 +32,8 @@ no per-env threads.
 from __future__ import annotations
 
 import functools
+import os
+import tempfile
 from typing import Any, Dict, Tuple
 
 import jax
@@ -88,9 +90,40 @@ def _bank_cached(
 ) -> LevelBank:
   if levels_dir:
     return load_bank(levels_dir, dim_room, -1)
-  # no levels_dir: deterministic procedurally-generated bank
+  # no levels_dir: deterministic procedurally-generated bank, disk-cached
+  # across processes (generation is ~5s; construction must stay cheap —
+  # cache dir overridable via ENVPOOL_TPU_BANK_CACHE, "" disables)
   n = n_levels_to_load if n_levels_to_load > 0 else 1024
-  return generate_bank(seed, n, dim_room=dim_room)
+  cache_dir = os.environ.get(
+    "ENVPOOL_TPU_BANK_CACHE",
+    os.path.join(tempfile.gettempdir(), "envpool_tpu_banks"),
+  )
+  path = (
+    os.path.join(cache_dir, f"bank_s{seed}_n{n}_d{dim_room}.npy")
+    if cache_dir else ""
+  )
+  if path and os.path.exists(path):
+    try:
+      levels = np.load(path)
+      return LevelBank(
+        levels,
+        np.zeros(n, dtype=np.int32),
+        np.arange(n, dtype=np.int32),
+        ["<generated>"],
+      )
+    except Exception:
+      pass  # corrupt cache: regenerate below
+  bank = generate_bank(seed, n, dim_room=dim_room)
+  if path:
+    try:
+      os.makedirs(cache_dir, exist_ok=True)
+      tmp = path + f".tmp{os.getpid()}"
+      with open(tmp, "wb") as f:  # np.save(path) would append ".npy"
+        np.save(f, bank.levels)
+      os.replace(tmp, path)
+    except OSError:
+      pass  # unwritable cache dir: run uncached
+  return bank
 
 
 def _get_bank(cfg: Any) -> LevelBank:
@@ -249,7 +282,8 @@ class SokobanEnv(FuncEnv):
   @classmethod
   def reset(cls, cfg: Any, state: Any, key: jax.Array) -> Tuple[Any, Any, Dict]:
     new = cls._fresh_episode(cfg, state["cursor"], key)
-    return new, cls._render(new["world"]), cls._info(new)
+    info = dict(cls._info(new), elapsed_step=jnp.int32(0))
+    return new, cls._render(new["world"]), info
 
   @classmethod
   def step(
@@ -350,7 +384,11 @@ class SokobanEnv(FuncEnv):
     out = jax.tree_util.tree_map(
       lambda a, b: jnp.where(done, a, b), fresh, stepped
     )
-    return out, cls._render(out["world"]), reward, done, trunc, cls._info(out)
+    # elapsed_step reports the FINISHING episode's counter even on the
+    # terminal step (the reference writes it before ResetWithoutWrite,
+    # sokoban_envpool.cc:177-216); noops already left steps2 unchanged.
+    info = dict(cls._info(out), elapsed_step=steps2)
+    return out, cls._render(out["world"]), reward, done, trunc, info
 
   @staticmethod
   def _render(world: jax.Array) -> jax.Array:

@@ -1,9 +1,15 @@
+# Portions derived from EnvPool (https://github.com/sail-sg/envpool),
+# Copyright 2021 Garena Online Private Limited, licensed under the
+# Apache License, Version 2.0 (http://www.apache.org/licenses/LICENSE-2.0).
+# Modifications Copyright 2026 the envpool_tpu authors, same license.
 """Global env registry.
 
 Same public surface as the reference registry
 (``envpool/registration.py:26-115``): ``register`` stores
 (import_path, class names, default kwargs) per task id; ``make`` lazily
-imports the family module and instantiates the requested dialect.
+imports the family module and instantiates the requested dialect; the
+validation asserts and their messages track the reference closely so user
+errors read identically.
 """
 
 from __future__ import annotations

@@ -1,6 +1,8 @@
 """Registry smoke test: make every registered task in all dialects.
 
-Mirrors ``envpool/make_test.py:27-80``.
+Mirrors ``envpool/make_test.py:27-80``. The legacy-gym dialect is driven
+through the ``tests/_fake_gym.py`` stand-in (the legacy wheel is absent in
+this environment); see ``test_gym_dialect.py`` for its behavioral tests.
 """
 
 import numpy as np
@@ -8,12 +10,17 @@ import pytest
 
 import envpool_tpu
 
+import _fake_gym
+
+_fake_gym.install("0.26.2")
+
 
 @pytest.mark.parametrize("task_id", envpool_tpu.list_all_envs())
 def test_make_all_dialects(task_id: str) -> None:
   for maker in (
     envpool_tpu.make_gymnasium,
     envpool_tpu.make_dm,
+    envpool_tpu.make_gym,
   ):
     env = maker(task_id, num_envs=2, seed=0)
     out = env.reset()

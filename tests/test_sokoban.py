@@ -255,3 +255,36 @@ def test_dm_dialect() -> None:
   assert np.all(ts.step_type == 0)
   ts = env.step({"action": np.zeros(3, np.int32)})
   assert np.all(ts.step_type == 1)
+
+
+def test_elapsed_step_restarts_after_auto_reset() -> None:
+  """elapsed_step mirrors current_step_: written BEFORE ResetWithoutWrite.
+
+  Reference semantics (``sokoban_envpool.cc:177-216``, ``env.h:209``): at a
+  terminal step elapsed_step reports the finishing episode's count; the
+  in-WriteState auto-reset restarts the counter, so the next step reports 1
+  again; noops freeze it (``sokoban_envpool.cc:87-95``).
+  """
+  cap = 4
+  env = envpool_tpu.make(
+    "Sokoban-v0",
+    env_type="gymnasium",
+    num_envs=2,
+    min_episode_steps=cap,
+    max_episode_steps=cap,
+    levels_dir=LEVELS_DIR,
+  )
+  _, info = env.reset()
+  assert np.all(np.asarray(info["elapsed_step"]) == 0)
+  act = np.zeros(2, np.int32)
+  for k in range(1, cap + 1):
+    _, _, term, trunc, info = env.step(act)
+    assert np.all(np.asarray(info["elapsed_step"]) == k)
+  assert np.all(trunc)
+  # next episode: counter restarted by the in-step auto-reset
+  _, _, term, trunc, info = env.step(act)
+  assert np.all(np.asarray(info["elapsed_step"]) == 1)
+  assert not np.any(term | trunc)
+  # noop (negative action) freezes the counter
+  _, _, _, _, info = env.step(np.full(2, -1, np.int32))
+  assert np.all(np.asarray(info["elapsed_step"]) == 1)
