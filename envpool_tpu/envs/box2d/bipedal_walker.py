@@ -262,8 +262,13 @@ class BipedalWalkerEnv(FuncEnv):
     terrain_y = _terrain_heights(kt, cls.hardcore)
     init_x = TERRAIN_STEP * TERRAIN_STARTPAD / 2
     init_y = TERRAIN_HEIGHT + 2 * LEG_H
+    # lower-leg angles chosen so the knee joints start AT their upper
+    # limit (-0.1): Box2D's limit constraint settles them there within a
+    # step (gym reset obs has knee angle ~ -0.14); starting outside the
+    # limit would make the projection in _physics_step jump the joint,
+    # injecting a large spurious reset velocity.
     q = jnp.asarray([
-      init_x, init_y, 0.0, -0.05, -0.05, 0.05, 0.05
+      init_x, init_y, 0.0, -0.05, -0.15, 0.05, -0.05
     ], jnp.float32)
     qd = jnp.zeros(7, jnp.float32)
     force = jax.random.uniform(kf, (), jnp.float32, -INITIAL_RANDOM,

@@ -614,7 +614,7 @@ def _fused_sample_batched(bank_flat, scal, s1, s2, s3, s4, rows, cols):
     num_scalar_prefetch=1,
     grid=(n,),
     in_specs=[
-      pl.BlockSpec(memory_space=pltpu.ANY),     # bitmap bank stays in HBM
+      pl.BlockSpec(memory_space=pl.ANY),        # bitmap bank stays in HBM
       env_block(s_dim), env_block(s_dim), env_block(s_dim),
       env_block(s_dim), env_block(STATE_H), env_block(STATE_W),
     ],

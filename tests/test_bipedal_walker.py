@@ -55,8 +55,10 @@ def test_random_policy_falls_with_crash_penalty() -> None:
 
 
 def test_motors_move_joints() -> None:
-  # with zero torque the unsupported hip falls to its lower limit (-0.8);
-  # holding hip1 action +1 drives the joint positive at the motor speed
+  # with zero action the motor torque budget is 0 (|a| scales max torque)
+  # so the hip drifts under gravity; holding hip1 action +1 drives the
+  # joint positive at near the motor speed (SPEED_HIP/FPS per step),
+  # clearly separated from the idle posture
   o_idle, _, _ = _run("BipedalWalker-v3", 9, 10)
   o_act, _, _ = _run(
     "BipedalWalker-v3", 9, 10,
@@ -64,8 +66,8 @@ def test_motors_move_joints() -> None:
       np.asarray([[1.0, 0, 0, 0]], np.float32), (4, 1)
     ),
   )
-  assert np.all(o_idle[10][:, 4] < -0.5)
-  assert np.all(o_act[10][:, 4] > 0.0)
+  assert np.all(o_act[10][:, 4] > 0.3)
+  assert np.all(o_act[10][:, 4] > o_idle[10][:, 4] + 0.3)
 
 
 def test_hardcore_variant() -> None:
