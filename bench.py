@@ -207,6 +207,10 @@ def main() -> None:
       min(args.num_envs, 8192), args.steps)
   run("MiniGrid-Empty-8x8-v0", 90.0, bench_device_family,
       "MiniGrid-Empty-8x8-v0", min(args.num_envs, 8192), args.steps)
+  # on-device MuJoCo (pure-JAX physics; host tier below is the mj_step
+  # comparison point — reference Ant-v3 sync 296,681 FPS on 96 cores)
+  run("ReacherJax-v4", 90.0, bench_device_family, "ReacherJax-v4",
+      min(args.num_envs, 8192), args.steps)
   # Host tier (mujoco over raw mj_step) — frames/s incl. frame_skip 5,
   # the reference's accounting for its Ant-v3 sync/async rows.
   run("host_ant_v4_sync_fps", 45.0, bench_host_family, "Ant-v4",

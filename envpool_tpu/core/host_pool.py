@@ -5,18 +5,35 @@ Some reference families wrap irreducibly host-side C libraries (MuJoCo's
 CPU-only emulator, and the reference itself runs them on worker threads
 (``envpool/core/async_envpool.h:42-191``). This engine is the TPU build's
 counterpart of that tier: stateful per-env Python objects stepped by a
-thread pool (the wrapped C libraries release the GIL, so threads scale the
-same way the reference's do), behind the SAME EnvSpec/dialect API as the
-on-device TpuEnvPool — plus an ``xla()`` interface via
+worker-thread pool (the wrapped C libraries release the GIL, so threads
+scale the same way the reference's do), behind the SAME EnvSpec/dialect
+API as the on-device TpuEnvPool — plus an ``xla()`` interface via
 ``jax.experimental.io_callback`` mirroring the reference's XLA custom-call
 host bridge (``envpool/core/xla.h:113-210``).
 
+Execution design (mirrors the reference's, not a Python ThreadPoolExecutor
+translation — the executor's per-task future machinery and per-row dict
+building were measured at >5x the cost of the env steps themselves):
+
+- an action queue (``queue.SimpleQueue``, C-implemented, the counterpart of
+  ``action_buffer_queue.h:35-85``) feeds persistent worker threads;
+- results land in pre-allocated **state blocks** — one set of column arrays
+  per outgoing batch, written in place by workers and handed to the
+  consumer zero-copy, the counterpart of ``state_buffer.h:42-160``'s
+  ``StateBuffer`` (fresh blocks are created by the producer per send, like
+  the reference's stock-creator thread, so consumer-held arrays are never
+  overwritten);
+- per-row completion is signalled on the block's semaphore; ``recv`` waits
+  for the block to fill, exactly ``StateBuffer::Wait`` (:126-131).
+
 Semantics reproduced from the reference runtime:
 - sync mode (batch_size == num_envs): recv returns all envs ordered by
-  their position in the send batch (``envpool/core/state_buffer.h:94-97``);
+  their position in the send batch (``envpool/core/state_buffer.h:94-97``)
+  — workers write ``slot = order``;
 - async mode (batch_size < num_envs): recv returns the first batch_size
   FINISHERS in completion order — true latency hiding, not an emulation
-  (``envpool/core/state_buffer_queue.h:116-130``);
+  (``envpool/core/state_buffer_queue.h:116-130``) — workers take
+  ``slot = next completion position`` and fill block ``pos // batch``;
 - auto-reset: a done env's next scheduled step becomes Reset
   (``envpool/core/env.h:162-172``);
 - common fields done/discount/step_type/trunc/elapsed_step/env_id exactly
@@ -24,15 +41,16 @@ Semantics reproduced from the reference runtime:
 - per-env RNG: numpy MT19937(seed + env_id), the same generator family as
   the reference's ``std::mt19937`` (``envpool/core/env.h:90-95``);
 - worker sizing: num_threads config, default min(batch_size, cores)
-  (``envpool/core/async_envpool.h:114-116``).
+  (``envpool/core/async_envpool.h:114-116``);
+- teardown: poison pills, one per worker (``async_envpool.h:145-155``).
 """
 
 from __future__ import annotations
 
+import itertools
 import os
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -83,8 +101,22 @@ class HostEnv:
     raise NotImplementedError
 
 
+class _StateBlock:
+  """One outgoing batch's pre-allocated column arrays (a StateBuffer)."""
+
+  __slots__ = ("cols", "capacity", "sem", "errors")
+
+  def __init__(
+    self, layout: List[Tuple[str, Tuple[int, ...], Any]], capacity: int
+  ) -> None:
+    self.cols = {k: np.empty((capacity, *shp), dt) for k, shp, dt in layout}
+    self.capacity = capacity
+    self.sem = threading.Semaphore(0)
+    self.errors: List[BaseException] = []
+
+
 class HostEnvPool:
-  """Thread-pool batched engine with envpool's send/recv/reset protocol."""
+  """Worker-thread batched engine with envpool's send/recv/reset protocol."""
 
   _spec: EnvSpec
 
@@ -106,16 +138,15 @@ class HostEnvPool:
 
     # parallel env construction, like the init ThreadPool in
     # AsyncEnvPool's ctor (async_envpool.h:104-113)
+    from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=num_threads) as ctor_pool:
       self._envs: List[HostEnv] = list(
         ctor_pool.map(lambda i: env_cls(cfg, i), range(self._num_envs))
       )
-    self._executor = ThreadPoolExecutor(max_workers=num_threads)
     self._locks = [threading.Lock() for _ in range(self._num_envs)]
     self._done = np.ones(self._num_envs, dtype=bool)   # auto-reset on first
     self._elapsed = np.zeros(self._num_envs, dtype=np.int64)
-    self._completions: "queue.SimpleQueue" = queue.SimpleQueue()
-    self._inflight = 0
+    self._max_steps = int(cfg.max_episode_steps)
 
     self._state_keys = spec._state_keys
     self._action_keys = spec._action_keys
@@ -129,114 +160,177 @@ class HostEnvPool:
         "reward", "discount", "step_type", "trunc"
       )
     ]
+    self._layout = [
+      (k, tuple(s.static_shape), s.dtype)
+      for k, s in zip(self._state_keys, spec._state_spec)
+    ]
+
+    # --- block bookkeeping (producer side; see module docstring) ---
+    # blocks are indexed by creation order; recv consumes them in order.
+    self._block_map: Dict[int, _StateBlock] = {}
+    self._blocks_created = 0
+    self._rows_capacity = 0     # total rows across created blocks
+    self._rows_submitted = 0
+    self._next_recv = 0
+    self._inflight = 0
+    # async completion-position counter (next() is atomic under the GIL)
+    self._complete_pos = itertools.count()
+
+    self._work: "queue.SimpleQueue" = queue.SimpleQueue()
+    self._workers = [
+      threading.Thread(target=self._worker_loop, daemon=True)
+      for _ in range(num_threads)
+    ]
+    for w in self._workers:
+      w.start()
 
   def __del__(self) -> None:
     try:
-      ex = getattr(self, "_executor", None)
-      if ex is not None:
-        ex.shutdown(wait=False, cancel_futures=True)
+      work = getattr(self, "_work", None)
+      if work is not None:
+        for _ in getattr(self, "_workers", ()):
+          work.put(None)  # poison pill (async_envpool.h:145-155)
     except Exception:
       pass  # interpreter teardown: queue module may already be gone
 
   # ------------------------------------------------------------------ worker
 
-  def _job(self, env_id: int, order: int, action: Any,
-           force_reset: bool) -> None:
-    """One env's step/reset, writing a complete state row at the end."""
+  def _worker_loop(self) -> None:
+    work = self._work
+    while True:
+      item = work.get()
+      if item is None:
+        return
+      self._job(*item)
+
+  def _job(
+    self, env_id: int, order: int, block: Optional[_StateBlock],
+    actions: Any, force_reset: bool,
+  ) -> None:
+    """One env's step/reset, writing a complete state row in place."""
+    if block is None:  # async mode: first-finisher slot assignment
+      pos = next(self._complete_pos)
+      block = self._block_map[pos // self._batch_size]
+      slot = pos % self._batch_size
+    else:
+      slot = order  # sync mode: ordered writes (state_buffer.h:94-97)
     try:
       with self._locks[env_id]:
         env = self._envs[env_id]
         reset = force_reset or self._done[env_id]
-        max_steps = int(self._cfg.max_episode_steps)
         if reset:
           obs, info = env.reset()
           reward = 0.0
           elapsed = 0
           term = False
         else:
+          if actions is None:
+            action = None
+          elif isinstance(actions, dict):
+            action = {k: v[order] for k, v in actions.items()}
+          else:
+            action = actions[order]
           obs, reward, term, info = env.step(action)
           elapsed = int(self._elapsed[env_id]) + 1
-        done = bool(term) or elapsed >= max_steps
+        done = bool(term) or elapsed >= self._max_steps
         self._done[env_id] = done
         self._elapsed[env_id] = elapsed
-        row: Dict[str, Any] = {
-          "info:env_id": np.int32(env_id),
-          "info:players.env_id": np.int32(env_id),
-          "elapsed_step": np.int32(elapsed),
-          "done": np.bool_(done),
-          "reward": np.float32(reward),
-          "discount": np.float32(not done),
-          "step_type": np.int32(0 if elapsed == 0 else (2 if done else 1)),
-          "trunc": np.bool_(done and elapsed >= max_steps),
-        }
+        cols = block.cols
+        cols["info:env_id"][slot] = env_id
+        if "info:players.env_id" in cols:
+          cols["info:players.env_id"][slot] = env_id
+        cols["elapsed_step"][slot] = elapsed
+        cols["done"][slot] = done
+        cols["reward"][slot] = reward
+        cols["discount"][slot] = 0.0 if done else 1.0
+        cols["step_type"][slot] = 0 if elapsed == 0 else (2 if done else 1)
+        cols["trunc"][slot] = done and elapsed >= self._max_steps
         for k in self._env_state_keys:
           if k == "obs":
-            row[k] = obs
+            cols[k][slot] = obs
           elif k.startswith("obs:"):
-            row[k] = obs[k[4:]]
+            cols[k][slot] = obs[k[4:]]
           elif k.startswith("info:"):
-            row[k] = info[k[5:]]
+            cols[k][slot] = info[k[5:]]
           else:
-            row[k] = info[k]
+            cols[k][slot] = info[k]
         # envs may override common fields (e.g. atari's episodic-life
         # elapsed_step/trunc/discount rewrites, atari_env.h:210-250)
         override = info.get("_override") if isinstance(info, dict) else None
         if override:
-          row.update(override)
+          for k, v in override.items():
+            cols[k][slot] = v
           if "done" in override:
             self._done[env_id] = bool(override["done"])
           if "elapsed_step" in override:
             self._elapsed[env_id] = int(override["elapsed_step"])
-      self._completions.put((order, env_id, row))
     except BaseException as e:  # surface worker errors at recv
-      self._completions.put((order, env_id, e))
+      block.errors.append(e)
+    block.sem.release()
 
   # ------------------------------------------------------------- protocol
+
+  def _submit(
+    self, env_ids: np.ndarray, actions: Any, force_reset: bool
+  ) -> None:
+    """Create state block(s) for n rows, then enqueue one item per env.
+
+    Blocks are created BEFORE their rows are enqueued, so async workers
+    indexing ``_block_map[pos // batch]`` always find the block.
+    """
+    n = len(env_ids)
+    if self._is_sync:
+      # one block per send, sized to it (partial sync batches allowed —
+      # the phantom-done equivalent of async_envpool.h:163-175)
+      block: Optional[_StateBlock] = _StateBlock(self._layout, n)
+      self._block_map[self._blocks_created] = block
+      self._blocks_created += 1
+    else:
+      block = None
+      self._rows_submitted += n
+      while self._rows_capacity < self._rows_submitted:
+        self._block_map[self._blocks_created] = _StateBlock(
+          self._layout, self._batch_size
+        )
+        self._blocks_created += 1
+        self._rows_capacity += self._batch_size
+    self._inflight += n
+    put = self._work.put
+    for order in range(n):
+      put((int(env_ids[order]), order, block, actions, force_reset))
 
   def _send(self, action_list: List[np.ndarray]) -> None:
     adict = dict(zip(self._action_keys, action_list))
     env_ids = np.asarray(adict["env_id"], dtype=np.int64)
-    single = len(self._env_action_keys) == 1
-
-    def act_of(order: int):
-      if single:
-        return adict[self._env_action_keys[0]][order]
-      return {k: adict[k][order] for k in self._env_action_keys}
-
-    n = len(env_ids)
-    self._inflight += n
-    # per-env dispatch: row building is GIL-bound either way, and
-    # per-env tasks keep the first-finishers/async semantics uniform
-    # (chunked dispatch measured slower on mj_step-class envs)
-    for order, eid in enumerate(env_ids):
-      self._executor.submit(self._job, int(eid), order, act_of(order),
-                            False)
+    if len(self._env_action_keys) == 1:
+      actions: Any = np.asarray(adict[self._env_action_keys[0]])
+    else:
+      actions = {k: np.asarray(adict[k]) for k in self._env_action_keys}
+    self._submit(env_ids, actions, False)
 
   def _reset(self, env_id: np.ndarray) -> None:
-    env_id = np.asarray(env_id)
-    for order, eid in enumerate(env_id):
-      self._inflight += 1
-      self._executor.submit(self._job, int(eid), order, None, True)
+    self._submit(np.asarray(env_id), None, True)
 
   def _recv(self) -> List[np.ndarray]:
-    n = self._batch_size if not self._is_sync else min(
-      self._inflight, self._num_envs
-    )
     if self._inflight == 0:
       raise RuntimeError("recv called with no pending send/reset")
-    rows = []
-    for _ in range(n):
-      rows.append(self._completions.get())
-      self._inflight -= 1
-    errs = [r for r in rows if isinstance(r[2], BaseException)]
-    if errs:
-      raise errs[0][2]
-    if self._is_sync:
-      rows.sort(key=lambda r: r[0])  # ordered writes (state_buffer.h:94-97)
-    batch: List[np.ndarray] = []
-    for k in self._state_keys:
-      batch.append(np.stack([np.asarray(r[2][k]) for r in rows]))
-    return batch
+    # look up WITHOUT popping: async workers resolve their block from
+    # _block_map at completion time, so the entry must stay visible until
+    # every row has been written (the sem wait below guarantees that)
+    block = self._block_map[self._next_recv]
+    acquire = block.sem.acquire
+    for _ in range(block.capacity):
+      acquire()
+    del self._block_map[self._next_recv]
+    self._next_recv += 1
+    self._inflight -= block.capacity
+    if not self._is_sync:
+      self._rows_submitted -= block.capacity
+      self._rows_capacity -= block.capacity
+    if block.errors:
+      raise block.errors[0]
+    cols = block.cols
+    return [cols[k] for k in self._state_keys]
 
   # ------------------------------------------------------------------ extras
 
@@ -255,9 +349,6 @@ class HostEnvPool:
       jax.ShapeDtypeStruct((self._batch_size, *s.static_shape), s.dtype)
       for s in self._spec._state_spec
     ]
-    act_specs = {
-      k: self._spec.action_array_spec[k] for k in self._env_action_keys
-    }
 
     def host_step(action_np, env_id_np):
       alist = []
@@ -289,7 +380,6 @@ class HostEnvPool:
       handle = send(handle, action, env_id)
       return recv(handle)
 
-    del act_specs
     handle0 = (
       jnp.int32(0),
       tuple(jnp.zeros(s.shape, s.dtype) for s in out_shapes),

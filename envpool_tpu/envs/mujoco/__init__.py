@@ -1,8 +1,14 @@
-"""MuJoCo gym family (host-native tier; ``envpool/mujoco/gym/``)."""
+"""MuJoCo gym family: host-native tier (``envpool/mujoco/gym/``) plus the
+on-device ``-Jax-v4`` tier (``device_tasks.py``, pure-JAX physics)."""
 
 from envpool_tpu.core.envpool_api import py_env
 from envpool_tpu.core.host_pool import HostEnvPool
 
+from .device_tasks import (
+  InvertedDoublePendulumJaxEnv,
+  InvertedPendulumJaxEnv,
+  ReacherJaxEnv,
+)
 from .gym_tasks import (
   AntEnv,
   HalfCheetahEnv,
@@ -35,4 +41,19 @@ for _env_cls in (
   __all__ += [
     f"Gym{_name}EnvSpec", f"Gym{_name}DMEnvPool",
     f"Gym{_name}GymEnvPool", f"Gym{_name}GymnasiumEnvPool",
+  ]
+
+# on-device tier: default TpuEnvPool engine
+for _env_cls in (
+  ReacherJaxEnv, InvertedPendulumJaxEnv, InvertedDoublePendulumJaxEnv
+):
+  _spec, _dm, _gym, _gymnasium = py_env(_env_cls)
+  _name = _env_cls.name
+  globals()[f"{_name}EnvSpec"] = _spec
+  globals()[f"{_name}DMEnvPool"] = _dm
+  globals()[f"{_name}GymEnvPool"] = _gym
+  globals()[f"{_name}GymnasiumEnvPool"] = _gymnasium
+  __all__ += [
+    f"{_name}EnvSpec", f"{_name}DMEnvPool",
+    f"{_name}GymEnvPool", f"{_name}GymnasiumEnvPool",
   ]

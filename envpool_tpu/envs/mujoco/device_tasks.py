@@ -1,0 +1,273 @@
+"""On-device MuJoCo gym tasks (`-Jax-v4`): vmapped TPU-resident physics.
+
+The host tier (``gym_tasks.py``) mirrors the reference's worker-thread
+design over raw ``mj_step`` (``envpool/mujoco/gym/mujoco_env.h:44-94``);
+these classes are the TPU-first alternative: the same gym task semantics
+(obs/reward/termination/reset-noise per the v4 generation, matching
+``envpool/mujoco/gym/{reacher,inverted_pendulum,inverted_double_pendulum}.h``)
+over the pure-JAX smooth-dynamics engine in ``device_engine.py``, stepped
+entirely on-device by ``TpuEnvPool`` — thousands of MuJoCo envs per chip
+with no per-step host traffic.
+
+Registered ids: ``ReacherJax-v4``, ``InvertedPendulumJax-v4``,
+``InvertedDoublePendulumJax-v4`` (the contact-free gym tasks; contact-rich
+families stay on the host tier).
+
+Known deviations from the host/gym implementation (documented contract):
+- RNG streams are jax.random, not MT19937 — reset noise is identically
+  *distributed*, not bit-identical (SURVEY §7 hard part #1);
+- Reacher's goal rejection-sampling loop is replaced by an exact uniform
+  polar draw on the same open disk (identical distribution, no loop);
+- InvertedDoublePendulum's ``qfrc_constraint`` obs slice is computed at
+  the post-step state; gym reports the value MuJoCo cached from the last
+  substep's pre-integration forward pass. Both are exactly zero whenever
+  the cart's rail limit is inactive, i.e. in the entire healthy regime.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from envpool_tpu.core.env import FuncEnv
+from envpool_tpu.core.spec import ArraySpec
+
+from . import device_engine as de
+
+_INF = float(np.finfo(np.float32).max)
+
+
+def _asset(name: str) -> str:
+  import gymnasium
+  return os.path.join(
+    os.path.dirname(gymnasium.__file__), "envs", "mujoco", "assets", name
+  )
+
+
+@functools.lru_cache(maxsize=8)
+def _model(xml_name: str) -> de.DeviceModel:
+  return de.extract_model(_asset(xml_name))
+
+
+class DeviceMujocoEnv(FuncEnv):
+  """Shared scaffolding: state = {q, v}; step = engine x frame_skip."""
+
+  xml_file: str = ""
+  frame_skip: int = 2
+
+  @classmethod
+  def mdl(cls) -> de.DeviceModel:
+    return _model(cls.xml_file)
+
+  @classmethod
+  def _physics(cls, state, action):
+    mdl = cls.mdl()
+    q, v = state["q"], state["v"]
+    return de.step_smooth(mdl, q, v, action, nstep=cls.frame_skip)
+
+
+class ReacherJaxEnv(DeviceMujocoEnv):
+  """Reacher-v4 on-device (``envpool/mujoco/gym/reacher.h`` semantics)."""
+
+  name = "ReacherJax"
+  xml_file = "reacher.xml"
+  frame_skip = 2
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {
+      "reward_threshold": -3.75,
+      "reset_qpos_scale": 0.1, "reset_qvel_scale": 0.005,
+      "reset_goal_scale": 0.2,
+    }
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {
+      "obs": ArraySpec(np.float32, (11,), -_INF, _INF),
+      "info:reward_dist": ArraySpec(np.float32, (-1,)),
+      "info:reward_ctrl": ArraySpec(np.float32, (-1,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float32, (-1, 2), -1.0, 1.0)}
+
+  @classmethod
+  def _obs(cls, state):
+    mdl = cls.mdl()
+    q, v = state["q"], state["v"]
+    theta = q[:2]
+    vec = (
+      de.body_xpos(mdl, q, "fingertip") - de.body_xpos(mdl, q, "target")
+    )
+    return jnp.concatenate(
+      [jnp.cos(theta), jnp.sin(theta), q[2:], v[:2], vec]
+    )
+
+  @classmethod
+  def reset(cls, cfg: Any, state: Any, key: jax.Array):
+    mdl = cls.mdl()
+    kq, kg, kr, kv = jax.random.split(key, 4)
+    qs = float(cfg.reset_qpos_scale)
+    gs = float(cfg.reset_goal_scale)
+    q = jnp.asarray(mdl.init_qpos, jnp.float32) + jax.random.uniform(
+      kq, (mdl.nq,), jnp.float32, -qs, qs
+    )
+    # exact uniform draw on the open goal disk (same distribution as
+    # gym's rejection loop, loop-free)
+    r = gs * jnp.sqrt(jax.random.uniform(kg, (), jnp.float32))
+    ang = jax.random.uniform(kr, (), jnp.float32, 0.0, 2 * np.pi)
+    q = q.at[-2].set(r * jnp.cos(ang)).at[-1].set(r * jnp.sin(ang))
+    v = jax.random.uniform(
+      kv, (mdl.nv,), jnp.float32,
+      -float(cfg.reset_qvel_scale), float(cfg.reset_qvel_scale),
+    )
+    v = v.at[-2:].set(0.0)
+    state = {"q": q, "v": v}
+    zero = jnp.float32(0.0)
+    return state, cls._obs(state), {
+      "reward_dist": zero, "reward_ctrl": zero
+    }
+
+  @classmethod
+  def step(cls, cfg: Any, state: Any, action: Any, key: jax.Array):
+    del key
+    mdl = cls.mdl()
+    action = jnp.asarray(action, jnp.float32)
+    q = state["q"]
+    vec = (
+      de.body_xpos(mdl, q, "fingertip") - de.body_xpos(mdl, q, "target")
+    )
+    reward_dist = -jnp.linalg.norm(vec)
+    reward_ctrl = -jnp.sum(jnp.square(action))
+    q1, v1 = cls._physics(state, action)
+    state = {"q": q1, "v": v1}
+    reward = reward_dist + reward_ctrl
+    return state, cls._obs(state), reward, jnp.bool_(False), {
+      "reward_dist": reward_dist, "reward_ctrl": reward_ctrl
+    }
+
+
+class InvertedPendulumJaxEnv(DeviceMujocoEnv):
+  """InvertedPendulum-v4 on-device
+  (``envpool/mujoco/gym/inverted_pendulum.h`` semantics)."""
+
+  name = "InvertedPendulumJax"
+  xml_file = "inverted_pendulum.xml"
+  frame_skip = 2
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {
+      "reward_threshold": 950.0, "healthy_reward": 1.0,
+      "healthy_z_min": -0.2, "healthy_z_max": 0.2,
+      "reset_noise_scale": 0.01,
+    }
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"obs": ArraySpec(np.float32, (4,), -_INF, _INF)}
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float32, (-1, 1), -3.0, 3.0)}
+
+  @classmethod
+  def reset(cls, cfg: Any, state: Any, key: jax.Array):
+    mdl = cls.mdl()
+    kq, kv = jax.random.split(key)
+    s = float(cfg.reset_noise_scale)
+    q = jnp.asarray(mdl.init_qpos, jnp.float32) + jax.random.uniform(
+      kq, (mdl.nq,), jnp.float32, -s, s
+    )
+    v = jax.random.uniform(kv, (mdl.nv,), jnp.float32, -s, s)
+    state = {"q": q, "v": v}
+    return state, jnp.concatenate([q, v]), {}
+
+  @classmethod
+  def step(cls, cfg: Any, state: Any, action: Any, key: jax.Array):
+    del key
+    action = jnp.asarray(action, jnp.float32)
+    q1, v1 = cls._physics(state, action)
+    state = {"q": q1, "v": v1}
+    obs = jnp.concatenate([q1, v1])
+    term = (~jnp.all(jnp.isfinite(obs))) | (
+      jnp.abs(obs[1]) > float(cfg.healthy_z_max)
+    )
+    return state, obs, jnp.float32(cfg.healthy_reward), term, {}
+
+
+class InvertedDoublePendulumJaxEnv(DeviceMujocoEnv):
+  """InvertedDoublePendulum-v4 on-device
+  (``envpool/mujoco/gym/inverted_double_pendulum.h`` semantics)."""
+
+  name = "InvertedDoublePendulumJax"
+  xml_file = "inverted_double_pendulum.xml"
+  frame_skip = 5
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {
+      "reward_threshold": 9100.0, "healthy_reward": 10.0,
+      "observation_min": -10.0, "observation_max": 10.0,
+      "reset_noise_scale": 0.1,
+    }
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"obs": ArraySpec(np.float32, (11,), -_INF, _INF)}
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float32, (-1, 1), -1.0, 1.0)}
+
+  @classmethod
+  def _obs(cls, state):
+    mdl = cls.mdl()
+    q, v = state["q"], state["v"]
+    # qfrc_constraint at the current state (see module docstring)
+    tau = jnp.zeros(mdl.nv, q.dtype)
+    M, qfrc_smooth = de._qacc_smooth_parts(mdl, q, v, tau)
+    qacc_sm = de._solve_psd(M, qfrc_smooth)
+    qfrc_con = de.limit_constraint_force(
+      mdl, q, v, de._minv(mdl, M), qacc_sm
+    )
+    return jnp.concatenate([
+      q[:1], jnp.sin(q[1:]), jnp.cos(q[1:]),
+      jnp.clip(v, float(-10.0), float(10.0)),
+      jnp.clip(qfrc_con, float(-10.0), float(10.0)),
+    ])
+
+  @classmethod
+  def reset(cls, cfg: Any, state: Any, key: jax.Array):
+    mdl = cls.mdl()
+    kq, kv = jax.random.split(key)
+    s = float(cfg.reset_noise_scale)
+    q = jnp.asarray(mdl.init_qpos, jnp.float32) + jax.random.uniform(
+      kq, (mdl.nq,), jnp.float32, -s, s
+    )
+    v = jax.random.normal(kv, (mdl.nv,), jnp.float32) * s
+    state = {"q": q, "v": v}
+    return state, cls._obs(state), {}
+
+  @classmethod
+  def step(cls, cfg: Any, state: Any, action: Any, key: jax.Array):
+    del key
+    mdl = cls.mdl()
+    action = jnp.asarray(action, jnp.float32)
+    q1, v1 = cls._physics(state, action)
+    state = {"q": q1, "v": v1}
+    tip = de.site_xpos(mdl, q1, "tip")
+    x, y = tip[0], tip[2]
+    dist_penalty = 0.01 * x * x + (y - 2.0) ** 2
+    v1_, v2_ = v1[1], v1[2]
+    vel_penalty = 1e-3 * v1_ * v1_ + 5e-3 * v2_ * v2_
+    reward = float(cfg.healthy_reward) - dist_penalty - vel_penalty
+    term = y <= 1.0
+    return state, cls._obs(state), reward, term, {}

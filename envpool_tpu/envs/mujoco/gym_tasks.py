@@ -57,6 +57,7 @@ class MujocoGymEnv(HostEnv):
     self.init_qvel = np.copy(self.data.qvel)
     self.frame_skip = int(cfg.frame_skip)
     self.post_constraint = bool(cfg.post_constraint)
+    self._dt = self.frame_skip * self.model.opt.timestep
 
   # -- the MujocoReset / MujocoStep primitives (mujoco_env.h:74-94)
 
@@ -70,14 +71,15 @@ class MujocoGymEnv(HostEnv):
 
   def mujoco_step(self, action: np.ndarray) -> None:
     self.data.ctrl[:] = action
-    for _ in range(self.frame_skip):
-      self._mujoco.mj_step(self.model, self.data)
+    # one binding call for the whole frame_skip: mj_step releases the GIL
+    # once for all substeps instead of re-acquiring it per frame
+    self._mujoco.mj_step(self.model, self.data, nstep=self.frame_skip)
     if self.post_constraint:
       self._mujoco.mj_rnePostConstraint(self.model, self.data)
 
   @property
   def dt(self) -> float:
-    return self.frame_skip * self.model.opt.timestep
+    return self._dt
 
   # convenience: uniform/normal noise with the env's generator
 

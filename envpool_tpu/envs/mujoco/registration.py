@@ -86,6 +86,22 @@ dmc_mujoco_envs = [
   ("reacher", "hard", 1000),
 ]
 
+# on-device (pure-JAX physics) tier — the contact-free gym tasks
+for task, max_episode_steps in [
+  ("Reacher", 50),
+  ("InvertedPendulum", 1000),
+  ("InvertedDoublePendulum", 1000),
+]:
+  register(
+    task_id=f"{task}Jax-v4",
+    import_path="envpool_tpu.envs.mujoco",
+    spec_cls=f"{task}JaxEnvSpec",
+    dm_cls=f"{task}JaxDMEnvPool",
+    gym_cls=f"{task}JaxGymEnvPool",
+    gymnasium_cls=f"{task}JaxGymnasiumEnvPool",
+    max_episode_steps=max_episode_steps,
+  )
+
 for domain, task, max_episode_steps in dmc_mujoco_envs:
   domain_name = "".join(g[:1].upper() + g[1:] for g in domain.split("_"))
   task_name = "".join(g[:1].upper() + g[1:] for g in task.split("_"))
