@@ -100,13 +100,10 @@ class TpuEnvPool:
         raise NotImplementedError(
           "env-side auto-reset + multi-player is not supported"
         )
-      if self._batch_size != self._num_envs:
-        # the reference supports async multiplayer through its dynamic
-        # player offsets (state_buffer.h:87-93); the static-shape TPU
-        # engine supports multiplayer in sync lockstep only
-        raise NotImplementedError(
-          "multi-player envs require batch_size == num_envs"
-        )
+      # async multiplayer (batch_size < num_envs) is supported: cohorts
+      # of envs step through the masked path with player-padded actions,
+      # matching the reference's dynamic player offsets
+      # (state_buffer.h:87-93) with static shapes + compaction instead.
     self._state_keys: List[str] = spec._state_keys
     self._env_state_keys = [
       k for k in self._state_keys
@@ -386,9 +383,12 @@ class TpuEnvPool:
     Counterpart of ``Env::ParseAction``'s player gathering
     (``envpool/core/env.h:124-159``), done once on the host instead of
     per-env on worker threads. Rows for the same env fill consecutive
-    player slots in arrival order.
+    player slots in arrival order. The result is ordered by the send's
+    env_id cohort, so it feeds both the full-batch path (env_id ==
+    arange -> identity) and the masked async path ([B, P, ...] rows).
     """
     players = np.asarray(adict["players.env_id"], dtype=np.int64)
+    cohort = np.asarray(adict["env_id"], dtype=np.int64)
     # slot of each row within its env (stable cumcount)
     slots = np.zeros(len(players), dtype=np.int64)
     counts: Dict[int, int] = {}
@@ -406,7 +406,7 @@ class TpuEnvPool:
           dtype=spec.dtype,
         )
         full[players, slots] = rows
-        out[k] = full
+        out[k] = full[cohort]
     return out
 
   def _compact_players(self, outs: List[np.ndarray]) -> List[np.ndarray]:
@@ -507,6 +507,16 @@ class TpuEnvPool:
       handle = send(handle, action, env_id)
       return recv(handle)
 
+    # NOTE (behavioral difference vs the reference, documented): the
+    # reference's xla send/recv mutate the SAME C++ pool the host API
+    # sees (they share the object pointer threaded through the custom
+    # call, ``envpool/core/xla.h:113-210``). Here the handle is an
+    # immutable snapshot — host-API sends after ``xla()`` do not affect
+    # the handle, and in-jit steps do not affect the host pool — which
+    # is what makes the whole rollout pure and fusible. To fold an
+    # in-jit rollout's final state back into the host-side pool, call
+    # ``pool.commit(handle)``.
+
     if self._last_out is not None and len(
       self._last_out[0]
     ) == self._batch_size:
@@ -521,6 +531,21 @@ class TpuEnvPool:
     pool0 = jax.tree_util.tree_map(jnp.copy, self._state)
     handle0 = XlaHandle(pool=pool0, out=out0)
     return handle0, recv, send, step
+
+  def commit(self, handle: XlaHandle) -> None:
+    """Adopt an ``xla()`` handle's pool state as the host-side state.
+
+    Closes the host/in-jit divergence described in ``xla()``: after a
+    jitted rollout, ``pool.commit(final_handle)`` makes subsequent host
+    API ``step``/``recv`` continue from where the rollout left off (the
+    reference gets this implicitly by mutating one shared C++ pool).
+    """
+    if self._multi_player:
+      raise RuntimeError("commit() does not support multi-player envs")
+    # copy: the handle may be donated/reused by the caller's jit
+    self._state = jax.tree_util.tree_map(jnp.copy, handle.pool)
+    self._pending.clear()
+    self._last_out = None
 
   # --------------------------------------------------------------- properties
 

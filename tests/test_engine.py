@@ -155,6 +155,40 @@ def test_xla_jit_loop() -> None:
   np.testing.assert_allclose(obs_xla, obs_eager, rtol=1e-6)
 
 
+def test_xla_commit_folds_rollout_into_host_pool() -> None:
+  """commit(handle): host API continues from the in-jit rollout's state.
+
+  (Documented divergence from the reference, where xla send/recv mutate
+  the same pool the host API sees; see TpuEnvPool.xla().)
+  """
+  num_envs = 4
+  env = envpool_tpu.make_gymnasium("CartPole-v1", num_envs=num_envs, seed=3)
+  env.reset()
+  handle, recv, send, step = env.xla()
+
+  @jax.jit
+  def run(handle):
+    return jax.lax.fori_loop(
+      0, 10,
+      lambda _, h: send(h, jnp.zeros(num_envs, jnp.int32)),
+      handle,
+    )
+
+  out_handle = run(handle)
+  env.commit(out_handle)
+  obs_a, _, _, _, info = env.step(np.zeros(num_envs, np.int32))
+
+  # eager twin: same seed, 10 host-API steps, then the same 11th step
+  env2 = envpool_tpu.make_gymnasium(
+    "CartPole-v1", num_envs=num_envs, seed=3
+  )
+  env2.reset()
+  for _ in range(10):
+    env2.step(np.zeros(num_envs, np.int32))
+  obs_b, *_ = env2.step(np.zeros(num_envs, np.int32))
+  np.testing.assert_allclose(obs_a, obs_b, rtol=1e-6)
+
+
 def test_checkpoint_restore() -> None:
   """Pool state is a pytree: save/restore reproduces the trajectory."""
   env = envpool_tpu.make_gymnasium("CartPole-v1", num_envs=4, seed=0)

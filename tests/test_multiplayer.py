@@ -56,14 +56,71 @@ def test_per_player_actions_and_rewards() -> None:
 
 
 def test_multiplayer_guards() -> None:
-  with pytest.raises(NotImplementedError):
-    envpool_tpu.make_gymnasium(
-      "Dummy-v0", num_envs=4, batch_size=2, max_num_players=3
-    )
   env = _make()
   with pytest.raises(RuntimeError):
-    env.xla()
+    env.xla()  # same gate as the reference (py_envpool.h:220-238)
   with pytest.raises(ValueError):
     envpool_tpu.make_gymnasium(
       "CartPole-v1", num_envs=2, max_num_players=2
     )
+
+
+def test_async_multiplayer_cohorts() -> None:
+  """batch_size < num_envs: per-cohort player rows round-trip.
+
+  The reference supports this through dynamic player offsets in the
+  state buffer (``envpool/core/state_buffer.h:87-93``); here cohorts go
+  through the masked advance with padded players + host compaction.
+  """
+  env = envpool_tpu.make_gymnasium(
+    "Dummy-v0", num_envs=4, batch_size=2, max_num_players=3, state_num=50
+  )
+  env.async_reset()
+  seen = set()
+  for _ in range(2):
+    out = dict(zip(env.spec._state_keys, env._recv()))
+    cohort = np.asarray(out["info:env_id"])
+    assert cohort.shape == (2,)
+    seen.update(int(e) for e in cohort)
+    # live players per env e is (e % 3) + 1 (dummy's contract)
+    expect_players = np.concatenate(
+      [np.full(int(e) % 3 + 1, e, np.int32) for e in cohort]
+    )
+    np.testing.assert_array_equal(out["info:players.env_id"], expect_players)
+  assert seen == {0, 1, 2, 3}
+
+  # step cohort {1, 3}: rewards echo each player's action rows
+  players_env_id = np.asarray([1, 1, 3], np.int32)  # env1: 2p, env3: 1p
+  action_rows = np.asarray([7, 8, 9], np.int32)
+  env._send([
+    np.asarray([1, 3], np.int32), players_env_id, action_rows,
+  ])
+  out = dict(zip(env.spec._state_keys, env._recv()))
+  np.testing.assert_array_equal(out["info:env_id"], [1, 3])
+  np.testing.assert_array_equal(out["info:players.env_id"], players_env_id)
+  np.testing.assert_array_equal(out["reward"], action_rows.astype(np.float32))
+  np.testing.assert_array_equal(out["elapsed_step"], [1, 1])
+
+
+def test_async_multiplayer_interleaved_progress() -> None:
+  """Cohorts advance independently; per-env FIFO order is preserved."""
+  env = envpool_tpu.make_gymnasium(
+    "Dummy-v0", num_envs=4, batch_size=2, max_num_players=2, state_num=50
+  )
+  env.async_reset()
+  elapsed = {e: 0 for e in range(4)}
+  for _ in range(8):
+    out = dict(zip(env.spec._state_keys, env._recv()))
+    cohort = np.asarray(out["info:env_id"])
+    for pos, e in enumerate(cohort):
+      assert int(out["elapsed_step"][pos]) == elapsed[int(e)]
+      elapsed[int(e)] += 1
+    rows = np.concatenate(
+      [np.full(int(e) % 2 + 1, int(e) + 1, np.int32) for e in cohort]
+    )
+    env._send([
+      cohort.astype(np.int32),
+      np.asarray(out["info:players.env_id"], np.int32),
+      rows,
+    ])
+  assert sum(elapsed.values()) == 16
