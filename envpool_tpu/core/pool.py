@@ -42,7 +42,7 @@ import numpy as np
 
 from .env import FuncEnv
 from .env_spec import EnvSpec
-from .spec import ArraySpec
+from .spec import ArraySpec, ContainerSpec
 
 # Pool-level per-env bookkeeping carried between steps. ``env`` is the
 # batched env-state pytree; ``done`` means "this lane auto-resets on its next
@@ -104,6 +104,17 @@ class TpuEnvPool:
       # of envs step through the masked path with player-padded actions,
       # matching the reference's dynamic player offsets
       # (state_buffer.h:87-93) with static shapes + compaction instead.
+    self._container_keys = {
+      k for k, s in zip(spec._state_keys, spec._state_spec)
+      if isinstance(s, ContainerSpec)
+    }
+    if self._container_keys and self._multi_player:
+      # the reference packs per-player containers dynamically
+      # (dummy_envpool.h:146-158); the static-shape engine supports
+      # container fields for single-player envs only
+      raise NotImplementedError(
+        "container specs are not supported with max_num_players > 1"
+      )
     self._state_keys: List[str] = spec._state_keys
     self._env_state_keys = [
       k for k in self._state_keys
@@ -326,7 +337,7 @@ class TpuEnvPool:
       }
       mask = jnp.zeros(n, jnp.bool_).at[env_id].set(True)
       new_ps, outs = advance(ps, action_full, mask, False)
-      return new_ps, [o[env_id] for o in outs]
+      return new_ps, jax.tree_util.tree_map(lambda o: o[env_id], outs)
 
     def reset_all(ps: PoolState):
       return advance(ps, zero_action, None, True)
@@ -341,7 +352,7 @@ class TpuEnvPool:
         done=jnp.where(mask, True, ps.done),
       )
       new_ps, outs = advance(forced, zero_action, mask, False)
-      return new_ps, [o[env_id] for o in outs]
+      return new_ps, jax.tree_util.tree_map(lambda o: o[env_id], outs)
 
     self._jit_init = jax.jit(init, static_argnums=0)
     self._jit_advance_full = jax.jit(advance_full, donate_argnums=0)
@@ -431,7 +442,21 @@ class TpuEnvPool:
     if not self._pending:
       raise RuntimeError("recv called with no pending send/reset")
     _, outs = self._pending.popleft()
-    host = [np.asarray(o) for o in jax.device_get(outs)]
+    host = []
+    # multiplayer appends a live-player-count column past the state keys
+    keys = self._state_keys + [""] * (len(outs) - len(self._state_keys))
+    for k, o in zip(keys, jax.device_get(outs)):
+      if k in self._container_keys:
+        # padded (data, shape) -> ragged object column: each env's value
+        # sliced to its actual dims, the reference's container surface
+        # (``envpool/core/py_envpool.h``'s object-array conversion)
+        data, shp = np.asarray(o[0]), np.asarray(o[1])
+        col = np.empty(len(data), dtype=object)
+        for i in range(len(data)):
+          col[i] = data[i][tuple(slice(int(d)) for d in shp[i])]
+        host.append(col)
+      else:
+        host.append(np.asarray(o))
     if self._multi_player:
       host = self._compact_players(host)
     return host
@@ -475,6 +500,10 @@ class TpuEnvPool:
     if self._multi_player:
       # same gate as the reference (envpool/core/py_envpool.h:220-238)
       raise RuntimeError("xla() does not support multi-player envs")
+    if self._container_keys:
+      # same gate as the reference (py_envpool.h:226-231 "Xla interface
+      # does not support container type")
+      raise RuntimeError("xla() does not support container-type specs")
     n = self._num_envs
     advance = self._advance_pure
     zero_action = self._zero_action

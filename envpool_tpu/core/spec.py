@@ -17,7 +17,7 @@ from typing import Any, Tuple
 
 import numpy as np
 
-__all__ = ["ArraySpec", "spec_like", "zeros_from_spec"]
+__all__ = ["ArraySpec", "ContainerSpec", "spec_like", "zeros_from_spec"]
 
 
 @dataclasses.dataclass
@@ -54,6 +54,74 @@ class ArraySpec:
     return (
       f"ArraySpec(shape={list(self.shape)}, dtype={self.dtype}, "
       f"minimum={self.minimum}, maximum={self.maximum})"
+    )
+
+
+@dataclasses.dataclass
+class ContainerSpec:
+  """Nested dynamic-shape field — the masked-static TPU equivalent of the
+  reference's ``Spec<Container<D>>`` (``envpool/core/spec.h:100-110``).
+
+  The reference's container is a per-slot heap array whose shape varies at
+  runtime (exercised by the tutorial dummy env's ``obs:dyn``,
+  ``envpool/dummy/dummy_envpool.h:146-158``). XLA requires static shapes,
+  so on-device the field is carried as a PAIR:
+
+    data  — padded to ``max_shape`` (dtype = ``inner.dtype``)
+    shape — int32[ndim], the actual dims of this env's value
+
+  The env's step/reset returns ``(data, shape)`` for the key; the pool
+  slices ``data`` down to ``shape`` at the host boundary and delivers a
+  ragged object-array column, matching the reference's Python surface.
+  Dialect spaces expose the padded static box. ``xla()`` rejects
+  container specs exactly like the reference
+  (``envpool/core/py_envpool.h:220-238``).
+
+  ``inner.shape`` may contain ``-1`` for runtime-dynamic dims; every dim
+  is bounded by the corresponding entry of ``max_shape``.
+  """
+
+  inner: ArraySpec
+  max_shape: Tuple[int, ...]
+
+  def __post_init__(self) -> None:
+    if not isinstance(self.inner, ArraySpec):
+      self.inner = ArraySpec(*self.inner)
+    self.max_shape = tuple(int(s) for s in self.max_shape)
+    if len(self.max_shape) != len(self.inner.shape):
+      raise ValueError(
+        f"max_shape {self.max_shape} rank != inner shape "
+        f"{self.inner.shape} rank"
+      )
+
+  # quacks like ArraySpec for the padded static view
+  @property
+  def dtype(self) -> np.dtype:
+    return self.inner.dtype
+
+  @property
+  def shape(self) -> Tuple[int, ...]:
+    return self.max_shape
+
+  @property
+  def static_shape(self) -> Tuple[int, ...]:
+    return self.max_shape
+
+  @property
+  def minimum(self) -> Any:
+    return self.inner.minimum
+
+  @property
+  def maximum(self) -> Any:
+    return self.inner.maximum
+
+  @property
+  def ndim(self) -> int:
+    return len(self.max_shape)
+
+  def __repr__(self) -> str:
+    return (
+      f"ContainerSpec(inner={self.inner!r}, max_shape={list(self.max_shape)})"
     )
 
 

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from envpool_tpu.core.env import FuncEnv
-from envpool_tpu.core.spec import ArraySpec
+from envpool_tpu.core.spec import ArraySpec, ContainerSpec
 
 
 class DummyEnv(FuncEnv):
@@ -43,20 +43,29 @@ class DummyEnv(FuncEnv):
 
   @staticmethod
   def default_config() -> Dict[str, Any]:
-    # counterpart of DummyEnvFns::DefaultConfig (dummy_envpool.h:48-50)
-    return {"state_num": 10, "action_num": 6}
+    # counterpart of DummyEnvFns::DefaultConfig (dummy_envpool.h:48-50);
+    # container_obs enables the nested-dynamic obs:dyn demo field
+    # (single-player only, cf. dummy_envpool.h:146-158)
+    return {"state_num": 10, "action_num": 6, "container_obs": False}
 
   @staticmethod
   def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
     # two obs fields, a per-env info field, and a per-player info field
     # (leading -1), to exercise both paths (cf. the reference dummy's
     # players specs, dummy_envpool.h:77-84)
-    return {
+    spec: Dict[str, Any] = {
       "obs:raw": ArraySpec(np.int32, (2,)),
       "obs:clock": ArraySpec(np.float32, ()),
       "info:step_count": ArraySpec(np.int32, ()),
       "info:players.id": ArraySpec(np.int32, (-1,), 0, 100),
     }
+    if getattr(cfg, "container_obs", False):
+      # dynamic rows like the reference's {env_id+1, state_num} array
+      spec["obs:dyn"] = ContainerSpec(
+        ArraySpec(np.int32, (-1, int(cfg.state_num))),
+        max_shape=(4, int(cfg.state_num)),
+      )
+    return spec
 
   @staticmethod
   def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
@@ -80,7 +89,7 @@ class DummyEnv(FuncEnv):
     if p > 1:
       # live player count varies per env, like the reference dummy
       st["num_players"] = env_id % p + 1
-    return st, _obs(st), cls._info(cfg, st)
+    return st, _obs(cfg, st), cls._info(cfg, st)
 
   @classmethod
   def step(
@@ -99,7 +108,7 @@ class DummyEnv(FuncEnv):
       first = action
     st = dict(state, count=state["count"] + 1, last_action=first)
     term = st["count"] >= jnp.int32(cfg.state_num)
-    return st, _obs(st), reward, term, cls._info(cfg, st)
+    return st, _obs(cfg, st), reward, term, cls._info(cfg, st)
 
   @staticmethod
   def _info(cfg: Any, st: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
@@ -110,8 +119,17 @@ class DummyEnv(FuncEnv):
     return {"step_count": st["count"], "players.id": players_id}
 
 
-def _obs(st: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
-  return {
+def _obs(cfg: Any, st: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+  obs = {
     "raw": jnp.stack([st["count"], st["last_action"]]),
     "clock": st["count"].astype(jnp.float32),
   }
+  if getattr(cfg, "container_obs", False):
+    # (padded data, actual shape): rows = env_id % 4 + 1 like the
+    # reference's env_id+1 dynamic first dim, value = env_id
+    sn = int(cfg.state_num)
+    rows = st["env_id"] % 4 + 1
+    data = jnp.full((4, sn), st["env_id"], jnp.int32)
+    shape = jnp.stack([rows, jnp.int32(sn)]).astype(jnp.int32)
+    obs["dyn"] = (data, shape)
+  return obs
