@@ -47,10 +47,12 @@ Semantics reproduced from the reference runtime:
 
 from __future__ import annotations
 
+import atexit
 import itertools
 import os
 import queue
 import threading
+import weakref
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -99,6 +101,20 @@ class HostEnv:
 
   def step(self, action: Any) -> Tuple[Any, float, bool, Dict[str, Any]]:
     raise NotImplementedError
+
+
+# Live pools, drained at interpreter exit: a worker still executing inside
+# a wrapped C library (mj_step, ALE) while CPython finalizes is a segfault.
+_live_pools: "weakref.WeakSet" = weakref.WeakSet()
+
+
+@atexit.register
+def _drain_workers_at_exit() -> None:
+  for pool in list(_live_pools):
+    try:
+      pool._shutdown(join=True)
+    except Exception:
+      pass
 
 
 class _StateBlock:
@@ -183,13 +199,27 @@ class HostEnvPool:
     ]
     for w in self._workers:
       w.start()
+    _live_pools.add(self)
+
+  def _shutdown(self, join: bool = False) -> None:
+    """Poison-pill the workers (``async_envpool.h:145-155``).
+
+    ``join=True`` additionally waits for them to drain — used by the
+    atexit hook so no worker is still inside a C library (mj_step etc.)
+    while the interpreter tears itself down (that is a segfault).
+    """
+    work = getattr(self, "_work", None)
+    if work is None:
+      return
+    for _ in getattr(self, "_workers", ()):
+      work.put(None)
+    if join:
+      for w in getattr(self, "_workers", ()):
+        w.join(timeout=5.0)
 
   def __del__(self) -> None:
     try:
-      work = getattr(self, "_work", None)
-      if work is not None:
-        for _ in getattr(self, "_workers", ()):
-          work.put(None)  # poison pill (async_envpool.h:145-155)
+      self._shutdown()
     except Exception:
       pass  # interpreter teardown: queue module may already be gone
 
