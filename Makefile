@@ -20,7 +20,8 @@ bench:
 	$(PYTHON) bench.py
 
 lint:
-	$(PYTHON) -m compileall -q envpool_tpu tests examples benchmark
+	$(PYTHON) -m compileall -q envpool_tpu tests examples benchmark tools
+	$(PYTHON) tools/lint.py
 
 clean:
 	rm -f envpool_tpu/native/*.so

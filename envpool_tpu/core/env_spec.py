@@ -203,7 +203,8 @@ class EnvSpec:
 def make_spec_cls(env_cls: Type[FuncEnv]) -> Type[EnvSpec]:
   """Synthesize a named EnvSpec subclass for one env family.
 
-  Counterpart of ``EnvSpecMeta.__new__`` (``envpool/python/env_spec.py:230-245``):
+  Counterpart of ``EnvSpecMeta.__new__``
+  (``envpool/python/env_spec.py:230-245``):
   builds the ``gen_config`` namedtuple from common+env config with defaults.
   """
   merged: Dict[str, Any] = dict(COMMON_CONFIG)

@@ -57,7 +57,6 @@ from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from .env import FuncEnv
 from .env_spec import EnvSpec
 from .spec import ArraySpec
 

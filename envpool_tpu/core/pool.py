@@ -1,7 +1,8 @@
 """TpuEnvPool — the on-device batched execution engine.
 
 This replaces the reference's entire native runtime tier — worker threads,
-lock-free action queue, state-buffer ring (``envpool/core/async_envpool.h:42-191``,
+lock-free action queue, state-buffer ring
+(``envpool/core/async_envpool.h:42-191``,
 ``envpool/core/action_buffer_queue.h``, ``envpool/core/state_buffer_queue.h``) —
 with ONE fused XLA program: env state is a pytree of ``[num_envs, ...]`` arrays
 living in device HBM, ``step = jit(vmap(pure_step))``, auto-reset is a
@@ -32,9 +33,8 @@ Semantics reproduced exactly (see tests/):
 
 from __future__ import annotations
 
-import warnings
 from collections import deque, namedtuple
-from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +42,7 @@ import numpy as np
 
 from .env import FuncEnv
 from .env_spec import EnvSpec
-from .spec import ArraySpec, ContainerSpec
+from .spec import ContainerSpec
 
 # Pool-level per-env bookkeeping carried between steps. ``env`` is the
 # batched env-state pytree; ``done`` means "this lane auto-resets on its next

@@ -26,8 +26,7 @@ the reference's ``envpool/entry.py:17-55``).
 from __future__ import annotations
 
 import functools
-import os
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 

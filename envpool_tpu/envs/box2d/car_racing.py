@@ -37,7 +37,6 @@ every step.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Any, Dict, Tuple
 
 import jax
@@ -94,7 +93,8 @@ def _poly_mass(poly, density):
                      + y0 * y0 + y0 * y1 + y1 * y1) / 12
   if area < 0:
     area, cx, cy, inertia = -area, -cx, -cy, -inertia
-  return density * area, density * inertia, np.asarray([cx, cy]) / max(area, 1e-12)
+  return (density * area, density * inertia,
+          np.asarray([cx, cy]) / max(area, 1e-12))
 
 
 _HM = sum(_poly_mass(p, 1.0)[0] for p in _HULL_POLYS)

@@ -79,7 +79,9 @@ _IS_LEG_PT = np.asarray([0] * 6 + [1, 1, 2, 2], dtype=np.int32)
 # mass properties (box2d: density x area; hull density 5, legs 1)
 
 
-def _poly_mass(poly: np.ndarray, density: float) -> Tuple[float, float, np.ndarray]:
+def _poly_mass(
+  poly: np.ndarray, density: float
+) -> Tuple[float, float, np.ndarray]:
   """(mass, inertia about centroid, centroid) of a convex polygon."""
   area = 0.0
   cx = cy = 0.0

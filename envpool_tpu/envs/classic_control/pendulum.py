@@ -9,7 +9,7 @@ updating theta). Reward is computed from the pre-step state:
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

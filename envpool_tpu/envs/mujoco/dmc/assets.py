@@ -770,9 +770,12 @@ def manipulator_xml(task_name: str) -> str:
 
   ball = """
     <body name="ball" pos="0 0 0">
-      <joint name="ball_x" type="slide" axis="1 0 0" limited="false" damping="0.01"/>
-      <joint name="ball_z" type="slide" axis="0 0 1" limited="false" damping="0.01"/>
-      <joint name="ball_y" type="hinge" axis="0 1 0" limited="false" damping="0.01"/>
+      <joint name="ball_x" type="slide" axis="1 0 0"
+             limited="false" damping="0.01"/>
+      <joint name="ball_z" type="slide" axis="0 0 1"
+             limited="false" damping="0.01"/>
+      <joint name="ball_y" type="hinge" axis="0 1 0"
+             limited="false" damping="0.01"/>
       <geom name="ball_geom" type="sphere" size="0.025" mass="0.1"/>
       <site name="ball" pos="0 0 0" size="0.005"/>
     </body>
@@ -790,9 +793,12 @@ def manipulator_xml(task_name: str) -> str:
     </body>"""
   peg = """
     <body name="peg" pos="0 0 0">
-      <joint name="peg_x" type="slide" axis="1 0 0" limited="false" damping="0.01"/>
-      <joint name="peg_z" type="slide" axis="0 0 1" limited="false" damping="0.01"/>
-      <joint name="peg_y" type="hinge" axis="0 1 0" limited="false" damping="0.01"/>
+      <joint name="peg_x" type="slide" axis="1 0 0"
+             limited="false" damping="0.01"/>
+      <joint name="peg_z" type="slide" axis="0 0 1"
+             limited="false" damping="0.01"/>
+      <joint name="peg_y" type="hinge" axis="0 1 0"
+             limited="false" damping="0.01"/>
       <geom name="peg_geom" type="capsule" fromto="0 0 -0.06 0 0 0.06"
             size="0.015" mass="0.1"/>
       <site name="peg" pos="0 0 0" size="0.005"/>

@@ -21,7 +21,7 @@ keep the kinematics/actuation/task-relevant geometry and drop the visuals.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 

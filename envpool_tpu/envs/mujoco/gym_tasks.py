@@ -17,7 +17,7 @@ registered as both -v3 and -v4 like ``envpool/mujoco/gym/registration.py``.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import numpy as np
 

@@ -21,7 +21,7 @@ wall=0 empty=1 target=2 box_on_target=3 box=4 player=5 player_on_target=6.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 
@@ -162,7 +162,8 @@ def load_bank(levels_dir: str, dim_room: int,
 
 
 def print_level(level: np.ndarray) -> str:
-  """Render a level to the reference's glyph string (level_loader.cc:101-111)."""
+  """Render a level to the reference's glyph string
+  (level_loader.cc:101-111)."""
   return "\n".join(
     "".join(PRINT_LEVEL_KEY[t] for t in row) for row in np.asarray(level)
   )

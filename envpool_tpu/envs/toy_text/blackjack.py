@@ -11,7 +11,7 @@ Cards are drawn uniform{1..13} capped at 10, matching ``DrawCard``.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

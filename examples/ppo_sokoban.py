@@ -17,7 +17,6 @@ import argparse
 import time
 
 import jax
-import numpy as np
 
 import envpool_tpu
 from envpool_tpu.models import SokobanCNN

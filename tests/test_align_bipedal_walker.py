@@ -11,7 +11,6 @@ same gym Box2D dynamics that gymnasium ships).
 
 import gymnasium
 import numpy as np
-import pytest
 
 import envpool_tpu
 

@@ -16,7 +16,6 @@ re-derivation, not a port, so this is measured, not inherited.
 
 import gymnasium
 import numpy as np
-import pytest
 
 import envpool_tpu
 from envpool_tpu.envs.box2d.car_track import generate_track

@@ -9,7 +9,6 @@ regime.
 
 import gymnasium
 import numpy as np
-import pytest
 
 import envpool_tpu
 

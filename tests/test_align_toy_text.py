@@ -7,7 +7,6 @@ identical observation/reward/termination streams.
 
 import gymnasium
 import numpy as np
-import pytest
 
 import envpool_tpu
 

@@ -7,8 +7,6 @@ noop/fire reset, frame-skip maxpool, stacking, episodic life, reward clip
 here against a deterministic fake emulator.
 """
 
-import sys
-import types
 from collections import namedtuple
 
 import numpy as np

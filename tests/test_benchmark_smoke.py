@@ -1,6 +1,5 @@
 """Benchmarks-as-tests (cf. ``benchmark/test_envpool.py`` run in CI)."""
 
-import numpy as np
 
 import envpool_tpu
 from benchmark.throughput import bench_sync, bench_xla

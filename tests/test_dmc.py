@@ -151,8 +151,6 @@ def test_humanoid_cmu_structure() -> None:
 
 
 def test_humanoid_cmu_reward_prefers_standing() -> None:
-  from envpool_tpu.envs.mujoco.dmc.domains import DmcHumanoidCMUEnv
-  import types
   env = envpool_tpu.make_dm("HumanoidCMUStand-v1", num_envs=1, seed=2)
   env.reset()
   rewards = []

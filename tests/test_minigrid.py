@@ -2,7 +2,6 @@
 ``envpool/minigrid/minigrid_test.py`` and ``minigrid_deterministic_test``)."""
 
 import numpy as np
-import pytest
 
 import envpool_tpu
 

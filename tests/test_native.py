@@ -13,7 +13,7 @@ import pytest
 
 import envpool_tpu
 from envpool_tpu import native
-from envpool_tpu.envs.sokoban.astar import SOLVER_TO_ENV_ACTION, SokobanSolver
+from envpool_tpu.envs.sokoban.astar import SokobanSolver
 from envpool_tpu.envs.sokoban.level_loader import parse_level_file
 
 LEVELS_DIR = os.path.join(

@@ -5,7 +5,6 @@ through the ``tests/_fake_gym.py`` stand-in (the legacy wheel is absent in
 this environment); see ``test_gym_dialect.py`` for its behavioral tests.
 """
 
-import numpy as np
 import pytest
 
 import envpool_tpu

@@ -10,14 +10,12 @@ finish reward.
 import os
 
 import numpy as np
-import pytest
 
 import envpool_tpu
 from envpool_tpu.envs.sokoban import SokobanEnvSpec
 from envpool_tpu.envs.sokoban.astar import solve_level
 from envpool_tpu.envs.sokoban.level_loader import (
   BOX,
-  PLAYER,
   load_bank,
   parse_level_file,
 )
