@@ -196,13 +196,17 @@ def main() -> None:
     emit()
 
   # Headline family FIRST so a budget overrun still lands the number.
+  # 16384 envs nearly doubles throughput over 8192 (measured 54.3M vs
+  # 28.4M steps/s); the level bank stays at 1024 because the one-hot MXU
+  # level fetch scales with bank size (16384 levels measured 18.5M).
+  sokoban_envs = 16384 if args.num_envs >= 8192 else args.num_envs
   run(
-    "Sokoban-v0", 150.0, bench_device_family, "Sokoban-v0",
-    args.num_envs, args.steps,
+    "Sokoban-v0", 390.0, bench_device_family, "Sokoban-v0",
+    sokoban_envs, args.steps,
     max_episode_steps=60, levels_dir="", n_levels_to_load=1024,
   )
-  run("CartPole-v1", 60.0, bench_device_family, "CartPole-v1",
-      args.num_envs, args.steps)
+  run("CartPole-v1", 30.0, bench_device_family, "CartPole-v1",
+      min(args.num_envs, 8192), args.steps)
   run("LunarLander-v2", 90.0, bench_device_family, "LunarLander-v2",
       min(args.num_envs, 8192), args.steps)
   run("MiniGrid-Empty-8x8-v0", 90.0, bench_device_family,
