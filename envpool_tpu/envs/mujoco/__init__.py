@@ -8,6 +8,7 @@ from .device_tasks import (
   InvertedDoublePendulumJaxEnv,
   InvertedPendulumJaxEnv,
   ReacherJaxEnv,
+  SwimmerJaxEnv,
 )
 from .gym_tasks import (
   AntEnv,
@@ -45,7 +46,8 @@ for _env_cls in (
 
 # on-device tier: default TpuEnvPool engine
 for _env_cls in (
-  ReacherJaxEnv, InvertedPendulumJaxEnv, InvertedDoublePendulumJaxEnv
+  ReacherJaxEnv, InvertedPendulumJaxEnv, InvertedDoublePendulumJaxEnv,
+  SwimmerJaxEnv,
 ):
   _spec, _dm, _gym, _gymnasium = py_env(_env_cls)
   _name = _env_cls.name

@@ -86,6 +86,13 @@ class DeviceModel(NamedTuple):
   timestep: float
   integrator: int                      # 0=Euler (implicit damping), 1=RK4
   gravity: np.ndarray                  # [3]
+  # fluid model (mj_passive inertia-box model): per-body equivalent
+  # inertia box dims, inertia-frame rotation, and the medium constants
+  density: float
+  viscosity: float
+  wind: np.ndarray                     # [3]
+  body_ibox: np.ndarray                # [nbody, 3]
+  body_irotm: np.ndarray               # [nbody, 3, 3] body->inertia frame
   init_qpos: np.ndarray                # [nq] (qpos0)
   body_name2id: Dict[str, int]
   site_body: Tuple[int, ...]
@@ -102,6 +109,22 @@ def _quat2rotm(q: np.ndarray) -> np.ndarray:
   ])
 
 
+def _inertia_boxes(m) -> np.ndarray:
+  """Equivalent inertia-box dims per body (mj_inertiaBoxFluidModel):
+  box_i = sqrt(6 (I_j + I_k - I_i) / (2 m)) i.e. inverting the solid-box
+  inertia I_i = m/12 (d_j^2 + d_k^2)."""
+  out = np.zeros((m.nbody, 3))
+  for b in range(m.nbody):
+    mass = float(m.body_mass[b])
+    if mass <= 0:
+      continue
+    ii = np.asarray(m.body_inertia[b], dtype=np.float64)
+    for i in range(3):
+      j, k = (i + 1) % 3, (i + 2) % 3
+      out[b, i] = np.sqrt(max(1e-15, ii[j] + ii[k] - ii[i]) / mass * 6.0)
+  return out
+
+
 @functools.lru_cache(maxsize=32)
 def extract_model(xml_path: str) -> DeviceModel:
   """Pull the constants this engine needs out of a host-side mjModel."""
@@ -115,8 +138,6 @@ def extract_model(xml_path: str) -> DeviceModel:
       )
   if m.ntendon or m.neq:
     raise NotImplementedError("tendons/equality constraints not supported")
-  if float(m.opt.density) != 0.0 or float(m.opt.viscosity) != 0.0:
-    raise NotImplementedError("fluid forces not supported")
   if np.any(np.asarray(m.dof_frictionloss) != 0.0):
     raise NotImplementedError("dof frictionloss not supported")
 
@@ -205,6 +226,14 @@ def extract_model(xml_path: str) -> DeviceModel:
     timestep=float(m.opt.timestep),
     integrator=int(m.opt.integrator),
     gravity=np.asarray(m.opt.gravity, dtype=np.float64),
+    density=float(m.opt.density),
+    viscosity=float(m.opt.viscosity),
+    wind=np.asarray(m.opt.wind, dtype=np.float64),
+    body_ibox=_inertia_boxes(m),
+    body_irotm=np.stack([
+      _quat2rotm(np.asarray(m.body_iquat[b], dtype=np.float64))
+      for b in range(m.nbody)
+    ]),
     init_qpos=np.asarray(m.qpos0, dtype=np.float64),
     body_name2id=body_names,
     site_body=tuple(int(b) for b in m.site_bodyid),
@@ -305,12 +334,22 @@ def _spatial_inertias(mdl: DeviceModel, xpos, xmat):
   return Is
 
 
-def mass_matrix(mdl: DeviceModel, q):
-  """CRB in world Plucker coordinates + armature (mj_crb semantics)."""
-  import jax.numpy as jnp
+def _kin_ctx(mdl: DeviceModel, q):
+  """One forward-kinematics pass shared by all dynamics terms.
+
+  Returns (xpos, xmat, S, Is). Sharing this cuts both trace time and
+  graph size ~3x (mass matrix, bias, and fluid each needed it).
+  """
   xpos, xmat, anchors, axes = fk(mdl, q)
   S = _motion_subspaces(mdl, anchors, axes)
   Is = _spatial_inertias(mdl, xpos, xmat)
+  return xpos, xmat, S, Is
+
+
+def mass_matrix(mdl: DeviceModel, q, ctx=None):
+  """CRB in world Plucker coordinates + armature (mj_crb semantics)."""
+  import jax.numpy as jnp
+  _, _, S, Is = ctx if ctx is not None else _kin_ctx(mdl, q)
   # composite: subtree inertia per body
   Ic = list(Is)
   for b in range(mdl.nbody - 1, 0, -1):
@@ -353,13 +392,26 @@ def _cross_f(a, b):
   ])
 
 
-def bias_forces(mdl: DeviceModel, q, v):
+def body_velocities(mdl: DeviceModel, v, S):
+  """World-origin Plucker velocity per body from joint rates."""
+  import jax.numpy as jnp
+  zero6 = jnp.zeros(6, v.dtype)
+  vel = [zero6] * mdl.nbody
+  for b in range(1, mdl.nbody):
+    p = mdl.parent[b]
+    vj = zero6
+    for j in mdl.body_joints[b]:
+      d = mdl.jnt_dof[j]
+      vj = vj + S[d] * v[d]
+    vel[b] = vel[p] + vj
+  return vel
+
+
+def bias_forces(mdl: DeviceModel, q, v, ctx=None):
   """c(q, v) including gravity — mj_rne(flg_acc=0) semantics."""
   import jax.numpy as jnp
   dt = q.dtype
-  xpos, xmat, anchors, axes = fk(mdl, q)
-  S = _motion_subspaces(mdl, anchors, axes)
-  Is = _spatial_inertias(mdl, xpos, xmat)
+  _, _, S, Is = ctx if ctx is not None else _kin_ctx(mdl, q)
   zero6 = jnp.zeros(6, dt)
   vel = [zero6] * mdl.nbody
   acc = [zero6] * mdl.nbody
@@ -370,12 +422,19 @@ def bias_forces(mdl: DeviceModel, q, v):
   f = [zero6] * mdl.nbody
   for b in range(1, mdl.nbody):
     p = mdl.parent[b]
-    vj = zero6
+    # joints within a body form a serial chain of massless virtual
+    # bodies: each joint's velocity-product term uses the velocity
+    # accumulated UP TO that joint, not the body total (they differ
+    # whenever a body has >1 joint, e.g. swimmer's 3-joint torso)
+    vel_b = vel[p]
+    acc_b = acc[p]
     for j in mdl.body_joints[b]:
       d = mdl.jnt_dof[j]
-      vj = vj + S[d] * v[d]
-    vel[b] = vel[p] + vj
-    acc[b] = acc[p] + _cross_m(vel[b], vj)
+      vj = S[d] * v[d]
+      vel_b = vel_b + vj
+      acc_b = acc_b + _cross_m(vel_b, vj)
+    vel[b] = vel_b
+    acc[b] = acc_b
     f[b] = Is[b] @ acc[b] + _cross_f(vel[b], Is[b] @ vel[b])
   for b in range(mdl.nbody - 1, 0, -1):
     p = mdl.parent[b]
@@ -499,6 +558,12 @@ def limit_constraint_force(mdl: DeviceModel, q, v, Minv, qacc_smooth):
   lim = [j for j in range(len(mdl.jnt_type)) if mdl.jnt_limited[j]]
   if not lim:
     return jnp.zeros(mdl.nv, dtype)
+  if isinstance(Minv, dict):  # {dof: Minv column} — only limited cols
+    def mv(i, j):
+      return Minv[j][i]
+  else:
+    def mv(i, j):
+      return Minv[i, j]
   sgn, dofs, aref, a0, rreg, active = [], [], [], [], [], []
   for j in lim:
     d = mdl.jnt_dof[j]
@@ -519,7 +584,7 @@ def limit_constraint_force(mdl: DeviceModel, q, v, Minv, qacc_smooth):
     vel = s * v[d]
     aref.append(-b * vel - k * imp * dist)
     a0.append(s * qacc_smooth[d])
-    aii = Minv[d, d]
+    aii = mv(d, d)
     rreg.append((1.0 - imp) / imp * aii)
     sgn.append(s)
     dofs.append(d)
@@ -531,19 +596,94 @@ def limit_constraint_force(mdl: DeviceModel, q, v, Minv, qacc_smooth):
   # A = J Minv J^T over the limited dofs, with signs
   A = jnp.stack([
     jnp.stack([
-      s_v[i] * s_v[jx] * Minv[dofs[i], dofs[jx]] for jx in range(n)
+      s_v[i] * s_v[jx] * mv(dofs[i], dofs[jx]) for jx in range(n)
     ]) for i in range(n)
   ]) + jnp.diag(jnp.stack(rreg))
-  f = jnp.zeros(n, dtype)
-  sweeps = 1 if n == 1 else 25
-  for _ in range(sweeps):
-    for i in range(n):
-      resid = b_v[i] - A[i] @ f
-      fi = jnp.maximum(0.0, f[i] + resid / A[i, i]) * act_v[i]
-      f = f.at[i].set(fi)
+  if n == 1:
+    f = jnp.maximum(0.0, b_v[0] / A[0, 0])[None] * act_v
+  elif n == 2:
+    # closed-form 2x2 NNLS (KKT cases) — replaces the PGS sweep, which
+    # traced to a much larger graph
+    det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+    fu0 = (A[1, 1] * b_v[0] - A[0, 1] * b_v[1]) / det
+    fu1 = (A[0, 0] * b_v[1] - A[1, 0] * b_v[0]) / det
+    c10 = jnp.maximum(0.0, b_v[0] / A[0, 0])
+    c21 = jnp.maximum(0.0, b_v[1] / A[1, 1])
+    ok1 = b_v[1] - A[1, 0] * c10 <= 0
+    interior = (fu0 >= 0) & (fu1 >= 0)
+    k0 = jnp.where(interior, fu0, jnp.where(ok1, c10, 0.0))
+    k1 = jnp.where(interior, fu1, jnp.where(ok1, 0.0, c21))
+    # an inactive constraint's force is PINNED to zero — reduce to the
+    # 1x1 problem for the other one (masking after the coupled solve
+    # would let the dead row perturb the live one through A[0,1])
+    both = act_v[0] & act_v[1]
+    f0 = jnp.where(both, k0, jnp.where(act_v[0], c10, 0.0))
+    f1 = jnp.where(both, k1, jnp.where(act_v[1], c21, 0.0))
+    f = jnp.stack([f0, f1])
+  else:
+    f = jnp.zeros(n, dtype)
+    for _ in range(10):  # projected Gauss-Seidel
+      for i in range(n):
+        resid = b_v[i] - A[i] @ f
+        fi = jnp.maximum(0.0, f[i] + resid / A[i, i]) * act_v[i]
+        f = f.at[i].set(fi)
   qfrc = jnp.zeros(mdl.nv, dtype)
   for i in range(n):
     qfrc = qfrc.at[dofs[i]].add(s_v[i] * f[i])
+  return qfrc
+
+
+def fluid_force(mdl: DeviceModel, q, v, ctx=None):
+  """Medium viscosity/density forces — MuJoCo's inertia-box fluid model
+  (``mj_inertiaBoxFluidModel`` in engine_passive.c; the default when no
+  geom has an ellipsoid fluid spec). Per body, in the inertia frame:
+
+    viscous:  torque -pi d^3 mu w,  force -3 pi d mu v   (d = mean box)
+    density:  force_i  -1/2 rho box_j box_k |v_i| v_i
+              torque_i -rho box_i (box_j^4 + box_k^4) |w_i| w_i / 64
+
+  applied at the body CoM, mapped to qfrc through the joint subspaces.
+  Verified against ``d.qfrc_passive`` in tests/test_device_mujoco.py.
+  """
+  import jax.numpy as jnp
+  dt = q.dtype
+  xpos, xmat, S, _ = ctx if ctx is not None else _kin_ctx(mdl, q)
+  vel = body_velocities(mdl, v, S)
+  qfrc = jnp.zeros(mdl.nv, dt)
+  rho, mu = mdl.density, mdl.viscosity
+  wind = jnp.asarray(mdl.wind, dt)
+  for b in range(1, mdl.nbody):
+    if float(mdl.body_mass[b]) <= 0:
+      continue
+    box = mdl.body_ibox[b]
+    com = xpos[b] + xmat[b] @ jnp.asarray(mdl.body_ipos[b], dt)
+    ximat = xmat[b] @ jnp.asarray(mdl.body_irotm[b], dt)
+    w_w = vel[b][:3]
+    v_w = vel[b][3:] + jnp.cross(w_w, com)  # linear velocity at CoM
+    lw = ximat.T @ w_w
+    lv = ximat.T @ (v_w - wind)
+    ltrq = jnp.zeros(3, dt)
+    lfrc = jnp.zeros(3, dt)
+    if mu > 0:
+      diam = float(np.mean(box))
+      ltrq = ltrq - float(np.pi * diam ** 3 * mu) * lw
+      lfrc = lfrc - float(3.0 * np.pi * diam * mu) * lv
+    if rho > 0:
+      bj = np.array([box[1] * box[2], box[0] * box[2], box[0] * box[1]])
+      lfrc = lfrc - 0.5 * rho * jnp.asarray(bj, dt) * jnp.abs(lv) * lv
+      bt = np.array([
+        box[0] * (box[1] ** 4 + box[2] ** 4),
+        box[1] * (box[0] ** 4 + box[2] ** 4),
+        box[2] * (box[0] ** 4 + box[1] ** 4),
+      ]) / 64.0
+      ltrq = ltrq - rho * jnp.asarray(bt, dt) * jnp.abs(lw) * lw
+    f_w = ximat @ lfrc
+    t_w = ximat @ ltrq
+    # Plucker force about the world origin: [torque + com x f; f]
+    F = jnp.concatenate([t_w + jnp.cross(com, f_w), f_w])
+    for d in range(mdl.nv):
+      if mdl.ancestor[mdl.dof_body[d]][b]:
+        qfrc = qfrc.at[d].add(S[d] @ F)
   return qfrc
 
 
@@ -551,10 +691,13 @@ def _qacc_smooth_parts(mdl: DeviceModel, q, v, tau):
   import jax.numpy as jnp
   dt = q.dtype
   damping = jnp.asarray(mdl.dof_damping, dt)
-  M = mass_matrix(mdl, q)
-  c = bias_forces(mdl, q, v)
+  ctx = _kin_ctx(mdl, q)  # ONE fk pass for all three terms
+  M = mass_matrix(mdl, q, ctx)
+  c = bias_forces(mdl, q, v, ctx)
   spring = passive_spring_force(mdl, q)
   qfrc_smooth = tau + spring - damping * v - c
+  if mdl.density > 0 or mdl.viscosity > 0:
+    qfrc_smooth = qfrc_smooth + fluid_force(mdl, q, v, ctx)
   return M, qfrc_smooth
 
 
@@ -572,15 +715,26 @@ def _minv(mdl: DeviceModel, M):
   return jnp.stack([_solve_psd(M, eye[i]) for i in range(n)], axis=1)
 
 
+def _limit_minv_cols(mdl: DeviceModel, M):
+  """Minv columns for the limited dofs only (all the constraint solve
+  needs) — len(limited) solves instead of a full nv-column inverse."""
+  import jax.numpy as jnp
+  eye = jnp.eye(M.shape[0], dtype=M.dtype)
+  dofs = sorted({
+    mdl.jnt_dof[j] for j in range(len(mdl.jnt_type)) if mdl.jnt_limited[j]
+  })
+  return {d: _solve_psd(M, eye[d]) for d in dofs}
+
+
 def _qacc_full(mdl: DeviceModel, q, v, tau):
   """Forward dynamics incl. joint-limit constraints (mj_forward)."""
   M, qfrc_smooth = _qacc_smooth_parts(mdl, q, v, tau)
   qacc_sm = _solve_psd(M, qfrc_smooth)
   if not any(mdl.jnt_limited):
     return qacc_sm
-  Minv = _minv(mdl, M)
-  qfrc_con = limit_constraint_force(mdl, q, v, Minv, qacc_sm)
-  return qacc_sm + Minv @ qfrc_con
+  cols = _limit_minv_cols(mdl, M)
+  qfrc_con = limit_constraint_force(mdl, q, v, cols, qacc_sm)
+  return qacc_sm + _solve_psd(M, qfrc_con)
 
 
 def step_smooth(mdl: DeviceModel, q, v, ctrl, nstep: int = 1):
@@ -614,7 +768,7 @@ def step_smooth(mdl: DeviceModel, q, v, ctrl, nstep: int = 1):
       if any(mdl.jnt_limited):
         qacc_sm = _solve_psd(M, qfrc_smooth)
         qfrc = qfrc + limit_constraint_force(
-          mdl, q, v, _minv(mdl, M), qacc_sm
+          mdl, q, v, _limit_minv_cols(mdl, M), qacc_sm
         )
       A = M + h * jnp.diag(damping)
       qacc = _solve_psd(A, qfrc)

@@ -10,8 +10,10 @@ entirely on-device by ``TpuEnvPool`` — thousands of MuJoCo envs per chip
 with no per-step host traffic.
 
 Registered ids: ``ReacherJax-v4``, ``InvertedPendulumJax-v4``,
-``InvertedDoublePendulumJax-v4`` (the contact-free gym tasks; contact-rich
-families stay on the host tier).
+``InvertedDoublePendulumJax-v4``, ``SwimmerJax-v4`` (the contact-free gym
+tasks; contact-rich families stay on the host tier). Swimmer exercises the
+engine's fluid model (density/viscosity medium forces) and RK4 integration
+(``envpool/mujoco/gym/swimmer.h`` semantics).
 
 Known deviations from the host/gym implementation (documented contract):
 - RNG streams are jax.random, not MT19937 — reset noise is identically
@@ -271,3 +273,88 @@ class InvertedDoublePendulumJaxEnv(DeviceMujocoEnv):
     reward = float(cfg.healthy_reward) - dist_penalty - vel_penalty
     term = y <= 1.0
     return state, cls._obs(state), reward, term, {}
+
+
+class SwimmerJaxEnv(DeviceMujocoEnv):
+  """Swimmer-v4 on-device (``envpool/mujoco/gym/swimmer.h:33-160``).
+
+  First task through the engine's fluid-force path: swimmer.xml sets
+  density=4000 viscosity=0.1, so the medium forces (inertia-box model)
+  ARE the dynamics — gravity is irrelevant in-plane and there are no
+  contacts. Also the first 3-joint body (2 slides + 1 hinge on the
+  torso) and the first RK4-integrated task.
+  """
+
+  name = "SwimmerJax"
+  xml_file = "swimmer.xml"
+  frame_skip = 4
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {
+      "reward_threshold": 360.0,
+      "forward_reward_weight": 1.0,
+      "ctrl_cost_weight": 1e-4,
+      "reset_noise_scale": 0.1,
+    }
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {
+      "obs": ArraySpec(np.float32, (8,), -_INF, _INF),
+      "info:reward_fwd": ArraySpec(np.float32, (-1,)),
+      "info:reward_ctrl": ArraySpec(np.float32, (-1,)),
+      "info:x_position": ArraySpec(np.float32, (-1,)),
+      "info:y_position": ArraySpec(np.float32, (-1,)),
+      "info:distance_from_origin": ArraySpec(np.float32, (-1,)),
+      "info:x_velocity": ArraySpec(np.float32, (-1,)),
+      "info:y_velocity": ArraySpec(np.float32, (-1,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float32, (-1, 2), -1.0, 1.0)}
+
+  @staticmethod
+  def _obs(state):
+    q, v = state["q"], state["v"]
+    return jnp.concatenate([q[2:], v])
+
+  @classmethod
+  def reset(cls, cfg: Any, state: Any, key: jax.Array):
+    mdl = cls.mdl()
+    kq, kv = jax.random.split(key)
+    s = float(cfg.reset_noise_scale)
+    q = jnp.asarray(mdl.init_qpos, jnp.float32) + jax.random.uniform(
+      kq, (mdl.nq,), jnp.float32, -s, s
+    )
+    v = jax.random.uniform(kv, (mdl.nv,), jnp.float32, -s, s)
+    state = {"q": q, "v": v}
+    zero = jnp.float32(0.0)
+    return state, cls._obs(state), {
+      "reward_fwd": zero, "reward_ctrl": zero,
+      "x_position": q[0], "y_position": q[1],
+      "distance_from_origin": jnp.sqrt(q[0] ** 2 + q[1] ** 2),
+      "x_velocity": zero, "y_velocity": zero,
+    }
+
+  @classmethod
+  def step(cls, cfg: Any, state: Any, action: Any, key: jax.Array):
+    del key
+    mdl = cls.mdl()
+    action = jnp.asarray(action, jnp.float32)
+    x0, y0 = state["q"][0], state["q"][1]
+    q1, v1 = cls._physics(state, action)
+    state = {"q": q1, "v": v1}
+    dt = cls.frame_skip * mdl.timestep
+    xv = (q1[0] - x0) / dt
+    yv = (q1[1] - y0) / dt
+    reward_fwd = float(cfg.forward_reward_weight) * xv
+    ctrl_cost = float(cfg.ctrl_cost_weight) * jnp.sum(jnp.square(action))
+    reward = reward_fwd - ctrl_cost
+    return state, cls._obs(state), reward, jnp.bool_(False), {
+      "reward_fwd": reward_fwd, "reward_ctrl": -ctrl_cost,
+      "x_position": q1[0], "y_position": q1[1],
+      "distance_from_origin": jnp.sqrt(q1[0] ** 2 + q1[1] ** 2),
+      "x_velocity": xv, "y_velocity": yv,
+    }

@@ -91,6 +91,7 @@ for task, max_episode_steps in [
   ("Reacher", 50),
   ("InvertedPendulum", 1000),
   ("InvertedDoublePendulum", 1000),
+  ("Swimmer", 1000),
 ]:
   register(
     task_id=f"{task}Jax-v4",

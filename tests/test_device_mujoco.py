@@ -20,7 +20,7 @@ import jax.numpy as jnp  # noqa: E402
 from envpool_tpu.envs.mujoco import device_engine as de  # noqa: E402
 
 MODELS = ["reacher.xml", "inverted_pendulum.xml",
-          "inverted_double_pendulum.xml"]
+          "inverted_double_pendulum.xml", "swimmer.xml"]
 
 
 def _asset(n):
@@ -170,6 +170,7 @@ def _force_gym_state(env, q, v):
     ("ReacherJax-v4", "Reacher-v4", 2),
     ("InvertedPendulumJax-v4", "InvertedPendulum-v4", 1),
     ("InvertedDoublePendulumJax-v4", "InvertedDoublePendulum-v4", 1),
+    ("SwimmerJax-v4", "Swimmer-v4", 2),
   ],
 )
 def test_env_obs_and_reward_align_with_gymnasium(task, gym_id, adim) -> None:
@@ -182,6 +183,7 @@ def test_env_obs_and_reward_align_with_gymnasium(task, gym_id, adim) -> None:
     "ReacherJax-v4": dt.ReacherJaxEnv,
     "InvertedPendulumJax-v4": dt.InvertedPendulumJaxEnv,
     "InvertedDoublePendulumJax-v4": dt.InvertedDoublePendulumJaxEnv,
+    "SwimmerJax-v4": dt.SwimmerJaxEnv,
   }[task]
   spec = envpool_tpu.make_spec(task, num_envs=1, seed=0)
   cfg = spec.config
@@ -234,3 +236,52 @@ def test_unsupported_models_raise() -> None:
   """Contact-rich / free-joint models are rejected with a clear error."""
   with pytest.raises(NotImplementedError):
     de.extract_model(_asset("ant.xml"))
+
+
+def test_fluid_force_matches_qfrc_passive() -> None:
+  """Inertia-box fluid model (swimmer: density=4000, viscosity=0.1)
+  matches MuJoCo's qfrc_passive minus the damping part exactly."""
+  with _x64():
+    xml = "swimmer.xml"
+    mdl = de.extract_model(_asset(xml))
+    m = mujoco.MjModel.from_xml_path(_asset(xml))
+    d = mujoco.MjData(m)
+    rng = np.random.default_rng(7)
+    for _ in range(3):
+      q = m.qpos0 + rng.uniform(-0.4, 0.4, m.nq)
+      v = rng.uniform(-1.0, 1.0, m.nv)
+      d.qpos[:] = q
+      d.qvel[:] = v
+      mujoco.mj_forward(m, d)
+      fluid_ref = d.qfrc_passive + m.dof_damping * v  # no springs here
+      ours = np.asarray(de.fluid_force(mdl, jnp.asarray(q), jnp.asarray(v)))
+      scale = max(1.0, np.abs(fluid_ref).max())
+      assert np.abs(ours - fluid_ref).max() < 1e-12 * scale
+
+
+def test_100_step_rollout_parity_swimmer() -> None:
+  """100 RK4 steps through the fluid model: machine-precision parity.
+
+  Exercises the 3-joint torso (the within-body Coriolis chain) and the
+  density/viscosity medium forces under sustained actuation."""
+  with _x64():
+    xml = "swimmer.xml"
+    mdl = de.extract_model(_asset(xml))
+    m = mujoco.MjModel.from_xml_path(_asset(xml))
+    d = mujoco.MjData(m)
+    rng = np.random.default_rng(3)
+    q = m.qpos0 + rng.uniform(-0.1, 0.1, m.nq)
+    v = rng.uniform(-0.1, 0.1, m.nv)
+    ctrl = rng.uniform(-0.5, 0.5, m.nu)
+    d.qpos[:] = q
+    d.qvel[:] = v
+    d.ctrl[:] = ctrl
+    q1, v1 = jnp.asarray(q), jnp.asarray(v)
+    cj = jnp.asarray(ctrl)
+    step = jax.jit(lambda a, b: de.step_smooth(mdl, a, b, cj))
+    for _ in range(100):
+      mujoco.mj_step(m, d)
+      q1, v1 = step(q1, v1)
+    assert d.ncon == 0
+    assert np.abs(np.asarray(q1) - d.qpos).max() < 1e-9
+    assert np.abs(np.asarray(v1) - d.qvel).max() < 1e-8
