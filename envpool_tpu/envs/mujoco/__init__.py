@@ -5,10 +5,13 @@ from envpool_tpu.core.envpool_api import py_env
 from envpool_tpu.core.host_pool import HostEnvPool
 
 from .device_tasks import (
+  HalfCheetahJaxEnv,
+  HopperJaxEnv,
   InvertedDoublePendulumJaxEnv,
   InvertedPendulumJaxEnv,
   ReacherJaxEnv,
   SwimmerJaxEnv,
+  Walker2dJaxEnv,
 )
 from .gym_tasks import (
   AntEnv,
@@ -47,7 +50,7 @@ for _env_cls in (
 # on-device tier: default TpuEnvPool engine
 for _env_cls in (
   ReacherJaxEnv, InvertedPendulumJaxEnv, InvertedDoublePendulumJaxEnv,
-  SwimmerJaxEnv,
+  SwimmerJaxEnv, HalfCheetahJaxEnv, HopperJaxEnv, Walker2dJaxEnv,
 ):
   _spec, _dm, _gym, _gymnasium = py_env(_env_cls)
   _name = _env_cls.name

@@ -1,0 +1,568 @@
+"""Contacts for the on-device MuJoCo engine: collision + constraint solver.
+
+The reference steps contact-rich MuJoCo tasks on host worker threads over
+``mj_step`` (``envpool/mujoco/gym/mujoco_env.h:44-94``). This module brings
+those tasks on-device: it reproduces MuJoCo's contact pipeline — static
+candidate enumeration, analytic narrow phase, soft-constraint row assembly,
+and the primal Newton solve — as pure JAX over constants extracted from the
+host ``mjModel``, so ``vmap`` runs thousands of contact-rich envs per chip.
+
+Design notes (TPU-first):
+- Candidate contacts are enumerated at model-extraction time (geom pairs
+  passing MuJoCo's contype/conaffinity + body filters); the narrow phase
+  always evaluates every candidate and *masks* inactive ones, so shapes are
+  static and the whole step stays inside one XLA program.
+- Constraint rows are assembled as stacked arrays (J [m, nv], aref, D,
+  mask) and solved with the same primal Newton iteration MuJoCo's default
+  solver uses: minimize 0.5 (a-a0)' M (a-a0) + 0.5 sum_i D_i [J_i a -
+  aref_i]_-^2 with an exact piecewise-quadratic line search.
+
+Constants were fit against MuJoCo 3.x's own ``mjData.efc_*`` arrays and are
+asserted row-for-row in ``tests/test_device_contacts.py``:
+- ``tc_eff = max(solref[0], 2*timestep)`` (MuJoCo clamps the constraint
+  time constant from below at two timesteps),
+  ``K = 1/(dmax^2 tc_eff^2 dampratio^2)``, ``B = 2/(dmax tc_eff)``,
+  ``aref = -B*vel - K*imp(pos)*(pos - margin)``;
+- row regularizer ``R = (1-imp)/imp * diagApprox`` with the
+  position-independent ``diagApprox``: ``dof_invweight0[dof]`` for joint
+  limits, ``2 mu^2 (1+mu^2) * (body_invweight0[b1,0] + body_invweight0
+  [b2,0])`` for pyramidal condim-3 contacts (plain invweight sum for
+  frictionless condim-1 rows);
+- pyramidal facet rows ``J_n ± mu1 J_t1, J_n ± mu2 J_t2`` (unnormalized),
+  one shared penetration ``pos`` per contact.
+
+Scope: plane/sphere/capsule geoms, pyramidal friction cones, condim 1/3 —
+the full contact model of the planar gym locomotion tasks (HalfCheetah,
+Hopper, Walker2d). Elliptic cones, condim 4/6 and mesh geoms are rejected
+at extraction.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import numpy as np
+
+# mjtGeom enum values (mujoco/mjmodel.h)
+_GEOM_PLANE, _GEOM_SPHERE, _GEOM_CAPSULE = 0, 2, 3
+
+
+class ContactData(NamedTuple):
+  """Static (numpy) candidate-contact tables for one model."""
+
+  # geom tables
+  geom_body: np.ndarray        # [ngeom] int
+  geom_size: np.ndarray        # [ngeom, 3]
+  geom_pos: np.ndarray         # [ngeom, 3] (body frame)
+  geom_rotm: np.ndarray        # [ngeom, 3, 3] (body frame)
+  # plane-capsule pairs (plane first); spheres are capsules with hl=0,
+  # contributing ONE candidate point instead of two
+  pc_plane: Tuple[int, ...]    # [n_pc] plane geom id
+  pc_cap: Tuple[int, ...]      # [n_pc] capsule/sphere geom id
+  pc_two: Tuple[bool, ...]     # [n_pc] True -> 2 endpoint candidates
+  # capsule-capsule (incl. sphere) pairs: one candidate point each
+  cc_g1: Tuple[int, ...]       # [n_cc]
+  cc_g2: Tuple[int, ...]       # [n_cc]
+  # per candidate-point constants, aligned with the concatenation
+  # [pc endpoints (1 or 2 per pair), then cc points]
+  point_b1: np.ndarray         # [P] int body of geom1
+  point_b2: np.ndarray         # [P] int body of geom2
+  point_sgn: np.ndarray        # [P, nv] +-1/0: dof influence on b2 - b1
+  point_K: np.ndarray          # [P]
+  point_B: np.ndarray          # [P]
+  point_solimp: np.ndarray     # [P, 5]
+  point_incmargin: np.ndarray  # [P] includemargin = margin - gap
+  point_diagA: np.ndarray      # [P] position-independent diag approx
+  point_mu: np.ndarray         # [P, 2] tangential friction
+  point_condim: np.ndarray     # [P] 1 or 3
+  # joint-limit rows
+  lim_dof: Tuple[int, ...]     # [L]
+  lim_lo: np.ndarray           # [L]
+  lim_hi: np.ndarray           # [L]
+  lim_margin: np.ndarray       # [L]
+  lim_K: np.ndarray            # [L]
+  lim_B: np.ndarray            # [L]
+  lim_solimp: np.ndarray       # [L, 5]
+  lim_diagA: np.ndarray        # [L] dof_invweight0
+  nrows: int                   # total constraint rows
+
+
+def _mix(a1, a2, w1, w2):
+  """solmix-weighted combination of solref/solimp (equal priority)."""
+  s = w1 + w2
+  if s < 1e-12:
+    w1 = w2 = 0.5
+  else:
+    w1, w2 = w1 / s, w2 / s
+  return w1 * np.asarray(a1, np.float64) + w2 * np.asarray(a2, np.float64)
+
+
+def extract_contacts(m) -> ContactData:
+  """Candidate-pair tables from an mjModel (MuJoCo's collision filters).
+
+  Pair admission mirrors ``mj_collision``: contype/conaffinity bitmasks,
+  same-body exclusion, and the parent-child filter (skipped when the
+  parent is the world body). Geom pairs are enumerated exhaustively at
+  build time — there is no runtime broadphase; inactive candidates cost
+  one masked row block each.
+  """
+  if int(m.opt.cone) != 0:
+    raise NotImplementedError("device engine supports pyramidal cones only")
+  if m.npair or m.nexclude:
+    raise NotImplementedError("explicit contact pairs/excludes unsupported")
+
+  nv = int(m.nv)
+  timestep = float(m.opt.timestep)
+  gb = np.asarray(m.geom_bodyid, dtype=np.int64)
+
+  # dof -> body, ancestor table (dof's body is ancestor-or-self of b)
+  dof_body = np.asarray(m.dof_bodyid, dtype=np.int64)
+  anc = np.zeros((m.nbody, m.nbody), dtype=bool)
+  for b in range(m.nbody):
+    a = b
+    while True:
+      anc[a][b] = True
+      if a == 0:
+        break
+      a = int(m.body_parentid[a])
+
+  pairs = []
+  for g1 in range(m.ngeom):
+    for g2 in range(g1 + 1, m.ngeom):
+      b1, b2 = int(gb[g1]), int(gb[g2])
+      if b1 == b2:
+        continue
+      # parent-child filter (mj default filterparent; world parent exempt)
+      if (int(m.body_parentid[b2]) == b1 and b1 != 0) or (
+        int(m.body_parentid[b1]) == b2 and b2 != 0
+      ):
+        continue
+      t1, t2 = int(m.geom_contype[g1]), int(m.geom_contype[g2])
+      a1, a2 = int(m.geom_conaffinity[g1]), int(m.geom_conaffinity[g2])
+      if not ((t1 & a2) or (t2 & a1)):
+        continue
+      k1, k2 = int(m.geom_type[g1]), int(m.geom_type[g2])
+      for k in (k1, k2):
+        if k not in (_GEOM_PLANE, _GEOM_SPHERE, _GEOM_CAPSULE):
+          raise NotImplementedError(
+            f"geom type {k} unsupported by the device contact engine"
+          )
+      if k1 == _GEOM_PLANE and k2 == _GEOM_PLANE:
+        continue
+      # order: plane first (contact normal then points geom1 -> geom2,
+      # matching MuJoCo's type-sorted collision table)
+      if k2 == _GEOM_PLANE:
+        g1, g2, k1, k2 = g2, g1, k2, k1
+      pairs.append((g1, g2, k1, k2))
+
+  def _combine(g1, g2):
+    """MuJoCo contact-parameter mixing for equal geom priority."""
+    if int(m.geom_priority[g1]) != int(m.geom_priority[g2]):
+      hi = g1 if m.geom_priority[g1] > m.geom_priority[g2] else g2
+      fric = np.asarray(m.geom_friction[hi], np.float64)
+      solref = np.asarray(m.geom_solref[hi], np.float64)
+      solimp = np.asarray(m.geom_solimp[hi], np.float64)
+      condim = int(m.geom_condim[hi])
+    else:
+      fric = np.maximum(m.geom_friction[g1], m.geom_friction[g2])
+      w1 = float(m.geom_solmix[g1])
+      w2 = float(m.geom_solmix[g2])
+      solref = _mix(m.geom_solref[g1], m.geom_solref[g2], w1, w2)
+      # negative (direct) solref entries use min, but gym models are std
+      if m.geom_solref[g1][0] <= 0 or m.geom_solref[g2][0] <= 0:
+        solref = np.minimum(m.geom_solref[g1], m.geom_solref[g2])
+      solimp = _mix(m.geom_solimp[g1], m.geom_solimp[g2], w1, w2)
+      condim = max(int(m.geom_condim[g1]), int(m.geom_condim[g2]))
+    # margins/gaps ADD (each geom's margin expands its own surface):
+    # mj_collideGeoms uses margin = margin1 + margin2, gap likewise
+    incmargin = (
+      float(m.geom_margin[g1]) + float(m.geom_margin[g2])
+    ) - (float(m.geom_gap[g1]) + float(m.geom_gap[g2]))
+    if condim not in (1, 3):
+      raise NotImplementedError("device contacts support condim 1/3 only")
+    return fric, solref, solimp, condim, incmargin
+
+  def _kb(solref, solimp):
+    tc, dr = float(solref[0]), float(solref[1])
+    tc = max(tc, 2.0 * timestep)  # MuJoCo clamps timeconst at 2*timestep
+    dmax = float(solimp[1])
+    return (
+      1.0 / max(1e-15, dmax * dmax * tc * tc * dr * dr),
+      2.0 / max(1e-15, dmax * tc),
+    )
+
+  pc_plane, pc_cap, pc_two = [], [], []
+  cc_g1, cc_g2 = [], []
+  pt = {k: [] for k in (
+    "b1", "b2", "K", "B", "solimp", "inc", "diagA", "mu", "condim"
+  )}
+  iw = np.asarray(m.body_invweight0, np.float64)
+
+  def _add_points(g1, g2, n_pts):
+    fric, solref, solimp, condim, inc = _combine(g1, g2)
+    K, B = _kb(solref, solimp)
+    b1, b2 = int(gb[g1]), int(gb[g2])
+    base = float(iw[b1, 0] + iw[b2, 0])
+    mu = float(fric[0])
+    if condim == 3:
+      diag_a = 2.0 * mu * mu * (1.0 + mu * mu) * base
+    else:
+      diag_a = base
+    for _ in range(n_pts):
+      pt["b1"].append(b1)
+      pt["b2"].append(b2)
+      pt["K"].append(K)
+      pt["B"].append(B)
+      pt["solimp"].append(np.asarray(solimp, np.float64))
+      pt["inc"].append(inc)
+      pt["diagA"].append(diag_a)
+      pt["mu"].append([float(fric[0]), float(fric[1])])
+      pt["condim"].append(condim)
+
+  for g1, g2, k1, k2 in pairs:
+    if k1 == _GEOM_PLANE:
+      two = k2 == _GEOM_CAPSULE
+      pc_plane.append(g1)
+      pc_cap.append(g2)
+      pc_two.append(two)
+      _add_points(g1, g2, 2 if two else 1)
+    else:  # sphere/capsule vs sphere/capsule: one candidate point
+      cc_g1.append(g1)
+      cc_g2.append(g2)
+      _add_points(g1, g2, 1)
+
+  n_pts = len(pt["b1"])
+  sgn = np.zeros((n_pts, nv))
+  for p in range(n_pts):
+    for d in range(nv):
+      db = dof_body[d]
+      sgn[p, d] = float(anc[db][pt["b2"][p]]) - float(anc[db][pt["b1"][p]])
+
+  # joint limits (1-dof hinge/slide only; the engine rejects others)
+  lim_dof, lim_lo, lim_hi, lim_margin = [], [], [], []
+  lim_K, lim_B, lim_solimp, lim_diag = [], [], [], []
+  dof_iw = np.asarray(m.dof_invweight0, np.float64)
+  for j in range(m.njnt):
+    if not m.jnt_limited[j]:
+      continue
+    d = int(m.jnt_dofadr[j])
+    K, B = _kb(m.jnt_solref[j], m.jnt_solimp[j])
+    lim_dof.append(d)
+    lim_lo.append(float(m.jnt_range[j, 0]))
+    lim_hi.append(float(m.jnt_range[j, 1]))
+    lim_margin.append(float(m.jnt_margin[j]))
+    lim_K.append(K)
+    lim_B.append(B)
+    lim_solimp.append(np.asarray(m.jnt_solimp[j], np.float64))
+    lim_diag.append(float(dof_iw[d]))
+
+  rows = len(lim_dof)
+  for c in pt["condim"]:
+    rows += 2 * (c - 1) if c > 1 else 1
+
+  return ContactData(
+    geom_body=gb,
+    geom_size=np.asarray(m.geom_size, np.float64),
+    geom_pos=np.asarray(m.geom_pos, np.float64),
+    geom_rotm=np.stack([
+      _quat2rotm(np.asarray(m.geom_quat[g], np.float64))
+      for g in range(m.ngeom)
+    ]) if m.ngeom else np.zeros((0, 3, 3)),
+    pc_plane=tuple(pc_plane),
+    pc_cap=tuple(pc_cap),
+    pc_two=tuple(pc_two),
+    cc_g1=tuple(cc_g1),
+    cc_g2=tuple(cc_g2),
+    point_b1=np.asarray(pt["b1"], np.int64),
+    point_b2=np.asarray(pt["b2"], np.int64),
+    point_sgn=sgn,
+    point_K=np.asarray(pt["K"], np.float64),
+    point_B=np.asarray(pt["B"], np.float64),
+    point_solimp=(
+      np.stack(pt["solimp"]) if n_pts else np.zeros((0, 5))
+    ),
+    point_incmargin=np.asarray(pt["inc"], np.float64),
+    point_diagA=np.asarray(pt["diagA"], np.float64),
+    point_mu=np.asarray(pt["mu"], np.float64).reshape(n_pts, 2),
+    point_condim=np.asarray(pt["condim"], np.int64),
+    lim_dof=tuple(lim_dof),
+    lim_lo=np.asarray(lim_lo, np.float64),
+    lim_hi=np.asarray(lim_hi, np.float64),
+    lim_margin=np.asarray(lim_margin, np.float64),
+    lim_K=np.asarray(lim_K, np.float64),
+    lim_B=np.asarray(lim_B, np.float64),
+    lim_solimp=(
+      np.stack(lim_solimp) if lim_dof else np.zeros((0, 5))
+    ),
+    lim_diagA=np.asarray(lim_diag, np.float64),
+    nrows=rows,
+  )
+
+
+def _quat2rotm(q: np.ndarray) -> np.ndarray:
+  w, x, y, z = q
+  return np.array([
+    [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+    [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+    [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+  ])
+
+
+# ------------------------------------------------------------ narrow phase
+
+
+def _geom_pose(cd: ContactData, xpos, xmat, g: int, dtype):
+  """World pose of geom g from its body's pose."""
+  import jax.numpy as jnp
+  b = int(cd.geom_body[g])
+  gpos = xpos[b] + xmat[b] @ jnp.asarray(cd.geom_pos[g], dtype)
+  grot = xmat[b] @ jnp.asarray(cd.geom_rotm[g], dtype)
+  return gpos, grot
+
+
+def contact_points(cd: ContactData, xpos, xmat, dtype):
+  """Narrow phase over all candidates -> (pos [P,3], dist [P], n [P,3]).
+
+  Plane-capsule: one candidate per endpoint sphere (MuJoCo's
+  ``mjc_PlaneCapsule``): dist = n.(e - p0) - r, pos = e - n (r + dist/2).
+  Capsule-capsule: closest points between the axis segments (clamped
+  parametric solve), one candidate. Spheres are capsules with zero
+  half-length. Normals point geom1 -> geom2 like mjContact.frame.
+  """
+  import jax.numpy as jnp
+  pos_l, dist_l, n_l = [], [], []
+
+  for i, (gp, gc) in enumerate(zip(cd.pc_plane, cd.pc_cap)):
+    ppos, prot = _geom_pose(cd, xpos, xmat, gp, dtype)
+    n = prot[:, 2]  # plane normal = local +z
+    cpos, crot = _geom_pose(cd, xpos, xmat, gc, dtype)
+    r = float(cd.geom_size[gc, 0])
+    hl = float(cd.geom_size[gc, 1]) if cd.pc_two[i] else 0.0
+    axis = crot[:, 2]
+    ends = [cpos - hl * axis, cpos + hl * axis] if cd.pc_two[i] else [cpos]
+    for e in ends:
+      dist = n @ (e - ppos) - r
+      pos_l.append(e - n * (r + 0.5 * dist))
+      dist_l.append(dist)
+      n_l.append(n)
+
+  for g1, g2 in zip(cd.cc_g1, cd.cc_g2):
+    p1, r1m = _geom_pose(cd, xpos, xmat, g1, dtype)
+    p2, r2m = _geom_pose(cd, xpos, xmat, g2, dtype)
+    r1, hl1 = float(cd.geom_size[g1, 0]), float(cd.geom_size[g1, 1])
+    r2, hl2 = float(cd.geom_size[g2, 0]), float(cd.geom_size[g2, 1])
+    if int(cd.geom_size[g1, 1] == 0):
+      hl1 = 0.0
+    a1, a2 = r1m[:, 2], r2m[:, 2]
+    # closest points between segments p1 +- hl1 a1, p2 +- hl2 a2
+    d12 = p2 - p1
+    A = a1 @ a1
+    Bq = a1 @ a2
+    C = a2 @ a2
+    D_ = a1 @ d12
+    E = a2 @ d12
+    den = A * C - Bq * Bq
+    s = jnp.where(jnp.abs(den) > 1e-12, (C * D_ - Bq * E) / den, 0.0)
+    s = jnp.clip(s, -hl1, hl1)
+    t = jnp.clip((Bq * s - E) / jnp.maximum(C, 1e-12), -hl2, hl2)
+    s = jnp.clip((Bq * t + D_) / jnp.maximum(A, 1e-12), -hl1, hl1)
+    q1 = p1 + s * a1
+    q2 = p2 + t * a2
+    diff = q2 - q1
+    sep = jnp.sqrt(diff @ diff + 1e-30)
+    n = diff / sep
+    dist = sep - r1 - r2
+    pos_l.append(q1 + n * (r1 + 0.5 * dist))
+    dist_l.append(dist)
+    n_l.append(n)
+
+  if not pos_l:
+    z = jnp.zeros((0,), dtype)
+    return jnp.zeros((0, 3), dtype), z, jnp.zeros((0, 3), dtype)
+  return jnp.stack(pos_l), jnp.stack(dist_l), jnp.stack(n_l)
+
+
+def _tangent_frame(n):
+  """mju_makeFrame tangents for a batch of normals [P, 3]."""
+  import jax.numpy as jnp
+  # pick a helper axis not parallel to n (matches mju_makeFrame's output
+  # (-1,0,0),(0,-1,0) for the upward plane normal)
+  ey = jnp.zeros_like(n).at[:, 1].set(1.0)
+  ez = jnp.zeros_like(n).at[:, 2].set(1.0)
+  a = jnp.where((jnp.abs(n[:, 1]) < 0.5)[:, None], ey, ez)
+  t1 = jnp.cross(n, a)
+  t1 = t1 / jnp.linalg.norm(t1, axis=1, keepdims=True)
+  t2 = jnp.cross(n, t1)
+  return t1, t2
+
+
+def _impedance_v(solimp, x):
+  """Vectorized MuJoCo impedance d(x) over [P] with per-row solimp [P,5]."""
+  import jax.numpy as jnp
+  d0, dmax, mid, power = solimp[:, 0], solimp[:, 1], solimp[:, 3], solimp[:, 4]
+  x = jnp.clip(x, 0.0, 1.0)
+  a = 1.0 / mid ** (power - 1)
+  b = 1.0 / (1.0 - mid) ** (power - 1)
+  y = jnp.where(x <= mid, a * x ** power, 1.0 - b * (1.0 - x) ** power)
+  return d0 + y * (dmax - d0)
+
+
+# ------------------------------------------------------- row assembly
+
+
+def assemble_rows(mdl, cd: ContactData, q, v, ctx):
+  """All constraint rows for one state -> (J [m,nv], aref, D, mask).
+
+  Row order: joint limits first, then per contact point its pyramid
+  facets (n+mu t1, n-mu t1, n+mu t2, n-mu t2) or the single normal row
+  for condim-1 — mirroring mjData.efc_* layout (limits before contacts).
+  """
+  import jax.numpy as jnp
+  dtype = q.dtype
+  xpos, xmat, S, _ = ctx
+  nv = mdl.nv
+
+  J_l, aref_l, D_l, mask_l = [], [], [], []
+
+  # ---- joint limits
+  L = len(cd.lim_dof)
+  if L:
+    dofs = np.asarray(cd.lim_dof)
+    qd = q[dofs]
+    vd = v[dofs]
+    lo = jnp.asarray(cd.lim_lo, dtype)
+    hi = jnp.asarray(cd.lim_hi, dtype)
+    margin = jnp.asarray(cd.lim_margin, dtype)
+    dist_lo = qd - lo
+    dist_hi = hi - qd
+    use_lo = dist_lo < dist_hi
+    dist = jnp.where(use_lo, dist_lo, dist_hi)
+    s = jnp.where(use_lo, 1.0, -1.0).astype(dtype)
+    active = dist < margin
+    imp = _impedance_v(
+      jnp.asarray(cd.lim_solimp, dtype),
+      jnp.abs(dist - margin) / jnp.asarray(cd.lim_solimp[:, 2], dtype),
+    )
+    K = jnp.asarray(cd.lim_K, dtype)
+    Bc = jnp.asarray(cd.lim_B, dtype)
+    vel = s * vd
+    aref = -Bc * vel - K * imp * (dist - margin)
+    R = (1.0 - imp) / imp * jnp.asarray(cd.lim_diagA, dtype)
+    Jlim = jnp.zeros((L, nv), dtype)
+    Jlim = Jlim.at[jnp.arange(L), dofs].set(s)
+    J_l.append(Jlim)
+    aref_l.append(aref)
+    D_l.append(1.0 / R)
+    mask_l.append(active)
+
+  # ---- contacts
+  P = cd.point_b1.shape[0]
+  if P:
+    pos, dist, n = contact_points(cd, xpos, xmat, dtype)
+    t1, t2 = _tangent_frame(n)
+    inc = jnp.asarray(cd.point_incmargin, dtype)
+    active = dist < inc
+    imp = _impedance_v(
+      jnp.asarray(cd.point_solimp, dtype),
+      jnp.abs(dist - inc) / jnp.asarray(cd.point_solimp[:, 2], dtype),
+    )
+    K = jnp.asarray(cd.point_K, dtype)
+    Bc = jnp.asarray(cd.point_B, dtype)
+    R = (1.0 - imp) / imp * jnp.asarray(cd.point_diagA, dtype)
+    Dp = 1.0 / R
+    kpos = K * imp * (dist - inc)
+
+    # point-velocity jacobians: V[p, d] = S_lin[d] + S_ang[d] x pos[p]
+    Sm = jnp.stack(S)                        # [nv, 6]
+    Vd = Sm[None, :, 3:] + jnp.cross(
+      Sm[None, :, :3], pos[:, None, :]
+    )                                        # [P, nv, 3]
+    sgn = jnp.asarray(cd.point_sgn, dtype)   # [P, nv]
+    Jn = jnp.einsum("pi,pdi->pd", n, Vd) * sgn
+    Jt1 = jnp.einsum("pi,pdi->pd", t1, Vd) * sgn
+    Jt2 = jnp.einsum("pi,pdi->pd", t2, Vd) * sgn
+
+    # vectorized facet rows, grouped by condim
+    one = np.where(cd.point_condim == 1)[0]
+    pyr = np.where(cd.point_condim == 3)[0]
+    if len(one):
+      rows = Jn[one]
+      J_l.append(rows)
+      aref_l.append(-Bc[one] * (rows @ v) - kpos[one])
+      D_l.append(Dp[one])
+      mask_l.append(active[one])
+    if len(pyr):
+      m1 = jnp.asarray(cd.point_mu[pyr, 0], dtype)[:, None]
+      m2 = jnp.asarray(cd.point_mu[pyr, 1], dtype)[:, None]
+      rows = jnp.stack([
+        Jn[pyr] + m1 * Jt1[pyr],
+        Jn[pyr] - m1 * Jt1[pyr],
+        Jn[pyr] + m2 * Jt2[pyr],
+        Jn[pyr] - m2 * Jt2[pyr],
+      ], axis=1).reshape(4 * len(pyr), nv)     # [4Pp, nv]
+      rep = lambda x: jnp.repeat(x[pyr], 4)    # noqa: E731
+      J_l.append(rows)
+      aref_l.append(-rep(Bc) * (rows @ v) - rep(kpos))
+      D_l.append(rep(Dp))
+      mask_l.append(jnp.repeat(active[pyr], 4))
+
+  J = jnp.concatenate(J_l, axis=0)
+  aref = jnp.concatenate([jnp.atleast_1d(x) for x in aref_l])
+  D = jnp.concatenate([jnp.atleast_1d(x) for x in D_l])
+  mask = jnp.concatenate([jnp.atleast_1d(x) for x in mask_l])
+  return J, aref, D, mask
+
+
+# ---------------------------------------------------------------- solver
+
+
+def newton_qacc(solve_psd, M, a0, J, aref, D, mask,
+                iters: int = 6, ls_iters: int = 6):
+  """MuJoCo's primal Newton solve over qacc (solver=Newton, pyramidal).
+
+  Minimizes  0.5 (a-a0)' M (a-a0) + 0.5 sum_i w_i(a) D_i (J_i a - aref_i)^2
+  with w_i(a) = mask_i AND (J_i a - aref_i < 0), by damped Newton with an
+  (approximately exact) piecewise-quadratic line search: the 1-D Newton
+  iteration on phi'(alpha) lands on the breakpoint structure the same way
+  MuJoCo's iterative line search does. Returns (qacc, efc_force).
+
+  Both loops are ``lax.fori_loop``s, keeping the traced graph small —
+  the solver appears 16x per env step under RK4 frame-skipping. The
+  Hessian solve uses the engine's unrolled elementwise Cholesky
+  (``solve_psd``): on TPU a batched 6-9 dim ``cho_factor`` lowers to a
+  serialized blocked While loop, while the unrolled form fuses into a
+  handful of elementwise kernels across the env batch.
+  """
+  import jax.numpy as jnp
+  from jax import lax
+
+  Dm = D * mask
+
+  def ls_body(_, carry):
+    alpha, r, p, q1, q2 = carry
+    ra = r + alpha * p
+    wa = Dm * (ra < 0)
+    g = q2 * alpha + q1 + jnp.sum(wa * ra * p)
+    h = q2 + jnp.sum(wa * p * p)
+    alpha = jnp.clip(alpha - g / jnp.maximum(h, 1e-30), 0.0, 2.0)
+    return alpha, r, p, q1, q2
+
+  def body(_, a):
+    r = J @ a - aref
+    w = Dm * (r < 0)
+    grad = M @ (a - a0) + J.T @ (w * r)
+    H = M + (J.T * w) @ J
+    delta = -solve_psd(H, grad)
+    p = J @ delta
+    q2 = delta @ (M @ delta)
+    q1 = delta @ (M @ (a - a0))
+    alpha = jnp.asarray(1.0, a.dtype)
+    alpha, *_ = lax.fori_loop(
+      0, ls_iters, ls_body, (alpha, r, p, q1, q2)
+    )
+    return a + alpha * delta
+
+  a = lax.fori_loop(0, iters, body, a0)
+  r = J @ a - aref
+  f = jnp.maximum(0.0, -(Dm * r))
+  return a, f

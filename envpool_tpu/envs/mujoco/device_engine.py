@@ -9,11 +9,13 @@ JAX functions over constants extracted from a host-side ``mjModel``, so a
 fused XLA program with zero per-step host traffic.
 
 Scope: kinematic trees of 1-DOF joints (hinge/slide), motor actuators,
-joint damping/armature/springs, gravity — the complete physics of the
-contact-free gym tasks (Reacher, InvertedPendulum, InvertedDoublePendulum).
-Contact dynamics and limit constraints are out of scope (those tasks either
-have none or never activate them in healthy episodes; the host tier remains
-the fallback for contact-rich families).
+joint damping/armature/springs, gravity, the inertia-box fluid model,
+joint-limit constraints, and — via ``device_collision.py`` — MuJoCo's
+full contact pipeline (plane/sphere/capsule narrow phase, pyramidal
+friction cones, soft-constraint rows, primal Newton solve). This covers
+the complete physics of the planar gym tasks: Reacher, InvertedPendulum,
+InvertedDoublePendulum, Swimmer, HalfCheetah, Hopper, Walker2d. Free/ball
+joints (quaternion states: Ant, Humanoid) stay on the host tier.
 
 Pipeline per step, mirroring ``mj_step`` with the Euler integrator:
 
@@ -98,6 +100,10 @@ class DeviceModel(NamedTuple):
   site_body: Tuple[int, ...]
   site_pos: np.ndarray                 # [nsite, 3] (body frame)
   site_name2id: Dict[str, int]
+  dof_invweight0: np.ndarray           # [nv] (diag-approx for limit rows)
+  # contact tables (device_collision.ContactData) or None when the model
+  # has no admissible geom pairs
+  contacts: Any
 
 
 def _quat2rotm(q: np.ndarray) -> np.ndarray:
@@ -192,6 +198,11 @@ def extract_model(xml_path: str) -> DeviceModel:
     for s in range(m.nsite)
   }
 
+  from .device_collision import extract_contacts
+  contacts = extract_contacts(m)
+  if contacts.point_b1.shape[0] == 0:
+    contacts = None  # limit-only models use the closed-form solve path
+
   return DeviceModel(
     nq=int(m.nq), nv=int(m.nv), nbody=int(m.nbody),
     parent=tuple(int(p) for p in m.body_parentid),
@@ -239,6 +250,8 @@ def extract_model(xml_path: str) -> DeviceModel:
     site_body=tuple(int(b) for b in m.site_bodyid),
     site_pos=np.asarray(m.site_pos, dtype=np.float64),
     site_name2id=site_names,
+    dof_invweight0=np.asarray(m.dof_invweight0, dtype=np.float64),
+    contacts=contacts,
   )
 
 
@@ -545,9 +558,11 @@ def limit_constraint_force(mdl: DeviceModel, q, v, Minv, qacc_smooth):
 
   For each limited joint, the nearer limit defines a row J = +-e_dof.
   Constants fit MuJoCo's own efc_* arrays exactly (verified in
-  tests/test_device_mujoco.py):
-    aref = -vel/(dmax*tc) - imp * pos / (4 dmax^2 tc^2 dr^2)
-    R    = (1-imp)/imp * A_ii,   A = J Minv J^T
+  tests/test_device_mujoco.py / test_device_contacts.py), with
+  tc_eff = max(solref[0], 2*timestep) — MuJoCo clamps the constraint
+  time constant from below at two timesteps:
+    aref = -2 vel/(dmax*tc_eff) - imp * pos / (dmax^2 tc_eff^2 dr^2)
+    R    = (1-imp)/imp * dof_invweight0[dof]
   and the force solves the dual QP  min 1/2 f'(A+R)f - f'(aref-a0),
   f >= 0  (a0 = J qacc_smooth), via projected Gauss-Seidel — exact for a
   single active constraint, and models here never have coupled pairs
@@ -570,6 +585,7 @@ def limit_constraint_force(mdl: DeviceModel, q, v, Minv, qacc_smooth):
     lo, hi = float(mdl.jnt_range[j, 0]), float(mdl.jnt_range[j, 1])
     margin = float(mdl.jnt_margin[j])
     tc, dr = float(mdl.jnt_solref[j, 0]), float(mdl.jnt_solref[j, 1])
+    tc = max(tc, 2.0 * mdl.timestep)  # MuJoCo clamps tc at 2*timestep
     dmax = float(mdl.jnt_solimp[j, 1])
     width = float(mdl.jnt_solimp[j, 2])
     dist_lo = q[d] - lo
@@ -579,13 +595,12 @@ def limit_constraint_force(mdl: DeviceModel, q, v, Minv, qacc_smooth):
     s = jnp.where(use_lo, 1.0, -1.0).astype(dtype)
     act = dist < margin
     imp = _impedance(mdl.jnt_solimp[j], jnp.abs(dist - margin) / width)
-    k = 1.0 / (4.0 * dmax * dmax * tc * tc * dr * dr)
-    b = 1.0 / (dmax * tc)
+    k = 1.0 / (dmax * dmax * tc * tc * dr * dr)
+    b = 2.0 / (dmax * tc)
     vel = s * v[d]
-    aref.append(-b * vel - k * imp * dist)
+    aref.append(-b * vel - k * imp * (dist - margin))
     a0.append(s * qacc_smooth[d])
-    aii = mv(d, d)
-    rreg.append((1.0 - imp) / imp * aii)
+    rreg.append((1.0 - imp) / imp * float(mdl.dof_invweight0[d]))
     sgn.append(s)
     dofs.append(d)
     active.append(act)
@@ -698,12 +713,25 @@ def _qacc_smooth_parts(mdl: DeviceModel, q, v, tau):
   qfrc_smooth = tau + spring - damping * v - c
   if mdl.density > 0 or mdl.viscosity > 0:
     qfrc_smooth = qfrc_smooth + fluid_force(mdl, q, v, ctx)
-  return M, qfrc_smooth
+  return M, qfrc_smooth, ctx
+
+
+def _has_contact_points(mdl: DeviceModel) -> bool:
+  return mdl.contacts is not None and mdl.contacts.point_b1.shape[0] > 0
+
+
+def _contact_solve(mdl: DeviceModel, q, v, M, qfrc_smooth, ctx):
+  """Unified limit+contact solve -> (qacc, qfrc_constraint)."""
+  from . import device_collision as dc
+  qacc_sm = _solve_psd(M, qfrc_smooth)
+  J, aref, D, mask = dc.assemble_rows(mdl, mdl.contacts, q, v, ctx)
+  qacc, f = dc.newton_qacc(_solve_psd, M, qacc_sm, J, aref, D, mask)
+  return qacc, J.T @ f
 
 
 def _qacc_smooth(mdl: DeviceModel, q, v, tau):
   """Plain forward dynamics: qacc = M^-1 (tau + passive - bias)."""
-  M, qfrc_smooth = _qacc_smooth_parts(mdl, q, v, tau)
+  M, qfrc_smooth, _ = _qacc_smooth_parts(mdl, q, v, tau)
   return _solve_psd(M, qfrc_smooth)
 
 
@@ -727,8 +755,11 @@ def _limit_minv_cols(mdl: DeviceModel, M):
 
 
 def _qacc_full(mdl: DeviceModel, q, v, tau):
-  """Forward dynamics incl. joint-limit constraints (mj_forward)."""
-  M, qfrc_smooth = _qacc_smooth_parts(mdl, q, v, tau)
+  """Forward dynamics incl. limit+contact constraints (mj_forward)."""
+  M, qfrc_smooth, ctx = _qacc_smooth_parts(mdl, q, v, tau)
+  if _has_contact_points(mdl):
+    qacc, _ = _contact_solve(mdl, q, v, M, qfrc_smooth, ctx)
+    return qacc
   qacc_sm = _solve_psd(M, qfrc_smooth)
   if not any(mdl.jnt_limited):
     return qacc_sm
@@ -747,11 +778,13 @@ def step_smooth(mdl: DeviceModel, q, v, ctrl, nstep: int = 1):
     with plain forward dynamics per stage, damping explicit.
   """
   import jax.numpy as jnp
+  from jax import lax
   dt = q.dtype
   h = jnp.asarray(mdl.timestep, dt)
   damping = jnp.asarray(mdl.dof_damping, dt)
   tau = actuator_force(mdl, ctrl)
-  for _ in range(nstep):
+
+  def one_step(q, v):
     if mdl.integrator == 1:  # RK4 (full dynamics per stage)
       a1 = _qacc_full(mdl, q, v, tau)
       q2, v2 = q + 0.5 * h * v, v + 0.5 * h * a1
@@ -763,9 +796,12 @@ def step_smooth(mdl: DeviceModel, q, v, ctrl, nstep: int = 1):
       q = q + (h / 6.0) * (v + 2 * v2 + 2 * v3 + v4)
       v = v + (h / 6.0) * (a1 + 2 * a2 + 2 * a3 + a4)
     else:  # Euler with implicit damping
-      M, qfrc_smooth = _qacc_smooth_parts(mdl, q, v, tau)
+      M, qfrc_smooth, ctx = _qacc_smooth_parts(mdl, q, v, tau)
       qfrc = qfrc_smooth
-      if any(mdl.jnt_limited):
+      if _has_contact_points(mdl):
+        _, qfrc_con = _contact_solve(mdl, q, v, M, qfrc_smooth, ctx)
+        qfrc = qfrc + qfrc_con
+      elif any(mdl.jnt_limited):
         qacc_sm = _solve_psd(M, qfrc_smooth)
         qfrc = qfrc + limit_constraint_force(
           mdl, q, v, _limit_minv_cols(mdl, M), qacc_sm
@@ -774,6 +810,17 @@ def step_smooth(mdl: DeviceModel, q, v, ctrl, nstep: int = 1):
       qacc = _solve_psd(A, qfrc)
       v = v + h * qacc
       q = q + h * v
+    return q, v
+
+  if nstep > 1 and _has_contact_points(mdl):
+    # contact models trace one substep and scan it: the constraint solve
+    # is by far the largest subgraph, and frame_skip reaches 5
+    (q, v), _ = lax.scan(
+      lambda qv, _: (one_step(*qv), None), (q, v), None, length=nstep
+    )
+  else:
+    for _ in range(nstep):
+      q, v = one_step(q, v)
   return q, v
 
 

@@ -10,9 +10,12 @@ entirely on-device by ``TpuEnvPool`` — thousands of MuJoCo envs per chip
 with no per-step host traffic.
 
 Registered ids: ``ReacherJax-v4``, ``InvertedPendulumJax-v4``,
-``InvertedDoublePendulumJax-v4``, ``SwimmerJax-v4`` (the contact-free gym
-tasks; contact-rich families stay on the host tier). Swimmer exercises the
-engine's fluid model (density/viscosity medium forces) and RK4 integration
+``InvertedDoublePendulumJax-v4``, ``SwimmerJax-v4`` (contact-free), plus
+the contact-rich planar locomotion tasks ``HalfCheetahJax-v4``,
+``HopperJax-v4``, ``Walker2dJax-v4`` — these run MuJoCo's full contact
+pipeline (plane/capsule collision, pyramidal friction, Newton solve) on
+device via ``device_collision.py``. Swimmer exercises the engine's fluid
+model (density/viscosity medium forces) and RK4 integration
 (``envpool/mujoco/gym/swimmer.h`` semantics).
 
 Known deviations from the host/gym implementation (documented contract):
@@ -235,7 +238,7 @@ class InvertedDoublePendulumJaxEnv(DeviceMujocoEnv):
     q, v = state["q"], state["v"]
     # qfrc_constraint at the current state (see module docstring)
     tau = jnp.zeros(mdl.nv, q.dtype)
-    M, qfrc_smooth = de._qacc_smooth_parts(mdl, q, v, tau)
+    M, qfrc_smooth, _ = de._qacc_smooth_parts(mdl, q, v, tau)
     qacc_sm = de._solve_psd(M, qfrc_smooth)
     qfrc_con = de.limit_constraint_force(
       mdl, q, v, de._minv(mdl, M), qacc_sm
@@ -358,3 +361,220 @@ class SwimmerJaxEnv(DeviceMujocoEnv):
       "distance_from_origin": jnp.sqrt(q1[0] ** 2 + q1[1] ** 2),
       "x_velocity": xv, "y_velocity": yv,
     }
+
+
+class HalfCheetahJaxEnv(DeviceMujocoEnv):
+  """HalfCheetah-v4 on-device (``envpool/mujoco/gym/half_cheetah.h``).
+
+  First contact-rich task through the device engine: 8 capsule-vs-plane
+  candidate contacts with pyramidal friction, solved by the on-device
+  Newton iteration (device_collision.py) at every Euler substep.
+  """
+
+  name = "HalfCheetahJax"
+  xml_file = "half_cheetah.xml"
+  frame_skip = 5
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {
+      "reward_threshold": 4800.0,
+      "forward_reward_weight": 1.0,
+      "ctrl_cost_weight": 0.1,
+      "reset_noise_scale": 0.1,
+    }
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {
+      "obs": ArraySpec(np.float32, (17,), -_INF, _INF),
+      "info:reward_run": ArraySpec(np.float32, (-1,)),
+      "info:reward_ctrl": ArraySpec(np.float32, (-1,)),
+      "info:x_position": ArraySpec(np.float32, (-1,)),
+      "info:x_velocity": ArraySpec(np.float32, (-1,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float32, (-1, 6), -1.0, 1.0)}
+
+  @staticmethod
+  def _obs(state):
+    return jnp.concatenate([state["q"][1:], state["v"]])
+
+  @classmethod
+  def reset(cls, cfg: Any, state: Any, key: jax.Array):
+    mdl = cls.mdl()
+    kq, kv = jax.random.split(key)
+    s = float(cfg.reset_noise_scale)
+    q = jnp.asarray(mdl.init_qpos, jnp.float32) + jax.random.uniform(
+      kq, (mdl.nq,), jnp.float32, -s, s
+    )
+    # gym's HalfCheetah uses NORMAL velocity noise (uniform positions)
+    v = s * jax.random.normal(kv, (mdl.nv,), jnp.float32)
+    state = {"q": q, "v": v}
+    zero = jnp.float32(0.0)
+    return state, cls._obs(state), {
+      "reward_run": zero, "reward_ctrl": zero,
+      "x_position": q[0], "x_velocity": zero,
+    }
+
+  @classmethod
+  def step(cls, cfg: Any, state: Any, action: Any, key: jax.Array):
+    del key
+    mdl = cls.mdl()
+    action = jnp.asarray(action, jnp.float32)
+    x0 = state["q"][0]
+    q1, v1 = cls._physics(state, action)
+    state = {"q": q1, "v": v1}
+    dt = cls.frame_skip * mdl.timestep
+    xv = (q1[0] - x0) / dt
+    reward_run = float(cfg.forward_reward_weight) * xv
+    ctrl_cost = float(cfg.ctrl_cost_weight) * jnp.sum(jnp.square(action))
+    reward = reward_run - ctrl_cost
+    return state, cls._obs(state), reward, jnp.bool_(False), {
+      "reward_run": reward_run, "reward_ctrl": -ctrl_cost,
+      "x_position": q1[0], "x_velocity": xv,
+    }
+
+
+class HopperJaxEnv(DeviceMujocoEnv):
+  """Hopper-v4 on-device (``envpool/mujoco/gym/hopper.h``).
+
+  RK4-integrated with contacts resolved at every stage (mj_RungeKutta
+  evaluates the full constrained forward dynamics four times per
+  substep); healthy-state termination per the v4 generation.
+  """
+
+  name = "HopperJax"
+  xml_file = "hopper.xml"
+  frame_skip = 4
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {
+      "reward_threshold": 6000.0,
+      "terminate_when_unhealthy": True,
+      "forward_reward_weight": 1.0,
+      "ctrl_cost_weight": 1e-3,
+      "healthy_reward": 1.0,
+      "velocity_min": -10.0, "velocity_max": 10.0,
+      "healthy_state_min": -100.0, "healthy_state_max": 100.0,
+      "healthy_angle_min": -0.2, "healthy_angle_max": 0.2,
+      "healthy_z_min": 0.7,
+      "reset_noise_scale": 5e-3,
+    }
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {
+      "obs": ArraySpec(np.float32, (11,), -_INF, _INF),
+      "info:x_position": ArraySpec(np.float32, (-1,)),
+      "info:x_velocity": ArraySpec(np.float32, (-1,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float32, (-1, 3), -1.0, 1.0)}
+
+  @classmethod
+  def _obs_of(cls, cfg, state):
+    return jnp.concatenate([
+      state["q"][1:],
+      jnp.clip(
+        state["v"], float(cfg.velocity_min), float(cfg.velocity_max)
+      ),
+    ])
+
+  @classmethod
+  def _healthy(cls, cfg, state):
+    q, v = state["q"], state["v"]
+    z, angle = q[1], q[2]
+    lo, hi = float(cfg.healthy_state_min), float(cfg.healthy_state_max)
+    st = jnp.concatenate([q[2:], v])
+    return (
+      (z > float(cfg.healthy_z_min))
+      & (angle > float(cfg.healthy_angle_min))
+      & (angle < float(cfg.healthy_angle_max))
+      & jnp.all((st > lo) & (st < hi))
+    )
+
+  @classmethod
+  def reset(cls, cfg: Any, state: Any, key: jax.Array):
+    mdl = cls.mdl()
+    kq, kv = jax.random.split(key)
+    s = float(cfg.reset_noise_scale)
+    q = jnp.asarray(mdl.init_qpos, jnp.float32) + jax.random.uniform(
+      kq, (mdl.nq,), jnp.float32, -s, s
+    )
+    v = jax.random.uniform(kv, (mdl.nv,), jnp.float32, -s, s)
+    state = {"q": q, "v": v}
+    return state, cls._obs_of(cfg, state), {
+      "x_position": q[0], "x_velocity": jnp.float32(0.0),
+    }
+
+  @classmethod
+  def step(cls, cfg: Any, state: Any, action: Any, key: jax.Array):
+    del key
+    mdl = cls.mdl()
+    action = jnp.asarray(action, jnp.float32)
+    x0 = state["q"][0]
+    q1, v1 = cls._physics(state, action)
+    state = {"q": q1, "v": v1}
+    dt = cls.frame_skip * mdl.timestep
+    xv = (q1[0] - x0) / dt
+    ctrl_cost = float(cfg.ctrl_cost_weight) * jnp.sum(jnp.square(action))
+    healthy = cls._healthy(cfg, state)
+    if bool(cfg.terminate_when_unhealthy):
+      survive = jnp.float32(float(cfg.healthy_reward))
+      term = ~healthy
+    else:
+      survive = jnp.where(healthy, float(cfg.healthy_reward), 0.0)
+      term = jnp.bool_(False)
+    reward = float(cfg.forward_reward_weight) * xv + survive - ctrl_cost
+    return state, cls._obs_of(cfg, state), reward, term, {
+      "x_position": q1[0], "x_velocity": xv,
+    }
+
+
+class Walker2dJaxEnv(HopperJaxEnv):
+  """Walker2d-v4 on-device (``envpool/mujoco/gym/walker2d.h``)."""
+
+  name = "Walker2dJax"
+  xml_file = "walker2d.xml"
+  frame_skip = 4
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {
+      "terminate_when_unhealthy": True,
+      "forward_reward_weight": 1.0,
+      "ctrl_cost_weight": 1e-3,
+      "healthy_reward": 1.0,
+      "velocity_min": -10.0, "velocity_max": 10.0,
+      "healthy_z_min": 0.8, "healthy_z_max": 2.0,
+      "healthy_angle_min": -1.0, "healthy_angle_max": 1.0,
+      "reset_noise_scale": 5e-3,
+    }
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {
+      "obs": ArraySpec(np.float32, (17,), -_INF, _INF),
+      "info:x_position": ArraySpec(np.float32, (-1,)),
+      "info:x_velocity": ArraySpec(np.float32, (-1,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float32, (-1, 6), -1.0, 1.0)}
+
+  @classmethod
+  def _healthy(cls, cfg, state):
+    z, angle = state["q"][1], state["q"][2]
+    return (
+      (z >= float(cfg.healthy_z_min))
+      & (z <= float(cfg.healthy_z_max))
+      & (angle >= float(cfg.healthy_angle_min))
+      & (angle <= float(cfg.healthy_angle_max))
+    )

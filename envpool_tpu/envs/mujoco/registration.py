@@ -92,6 +92,9 @@ for task, max_episode_steps in [
   ("InvertedPendulum", 1000),
   ("InvertedDoublePendulum", 1000),
   ("Swimmer", 1000),
+  ("HalfCheetah", 1000),
+  ("Hopper", 1000),
+  ("Walker2d", 1000),
 ]:
   register(
     task_id=f"{task}Jax-v4",
