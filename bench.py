@@ -221,6 +221,11 @@ def main() -> None:
   # TPU-VM mujoco sync row — on one chip.
   run("HalfCheetahJax-v4", 120.0, bench_device_family, "HalfCheetahJax-v4",
       min(args.num_envs, 4096), args.steps)
+  # free-root Ant (the reference's headline mujoco row): RK4 x frame_skip
+  # 5 = 20 Newton contact solves per env-step, sequential-depth bound
+  # (~9.4k env-steps/s = 47k reference-accounting FPS per chip)
+  run("AntJax-v4", 150.0, bench_device_family, "AntJax-v4",
+      min(args.num_envs, 2048), min(args.steps, 100))
   # Host tier (mujoco over raw mj_step) — frames/s incl. frame_skip 5,
   # the reference's accounting for its Ant-v3 sync/async rows.
   run("host_ant_v4_sync_fps", 45.0, bench_host_family, "Ant-v4",

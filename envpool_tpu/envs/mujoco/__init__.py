@@ -5,6 +5,7 @@ from envpool_tpu.core.envpool_api import py_env
 from envpool_tpu.core.host_pool import HostEnvPool
 
 from .device_tasks import (
+  AntJaxEnv,
   HalfCheetahJaxEnv,
   HopperJaxEnv,
   InvertedDoublePendulumJaxEnv,
@@ -51,6 +52,7 @@ for _env_cls in (
 for _env_cls in (
   ReacherJaxEnv, InvertedPendulumJaxEnv, InvertedDoublePendulumJaxEnv,
   SwimmerJaxEnv, HalfCheetahJaxEnv, HopperJaxEnv, Walker2dJaxEnv,
+  AntJaxEnv,
 ):
   _spec, _dm, _gym, _gymnasium = py_env(_env_cls)
   _name = _env_cls.name

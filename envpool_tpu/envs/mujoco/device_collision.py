@@ -76,7 +76,8 @@ class ContactData(NamedTuple):
   point_mu: np.ndarray         # [P, 2] tangential friction
   point_condim: np.ndarray     # [P] 1 or 3
   # joint-limit rows
-  lim_dof: Tuple[int, ...]     # [L]
+  lim_dof: Tuple[int, ...]     # [L] dof index (velocity/M space)
+  lim_qadr: Tuple[int, ...]    # [L] qpos index
   lim_lo: np.ndarray           # [L]
   lim_hi: np.ndarray           # [L]
   lim_margin: np.ndarray       # [L]
@@ -85,6 +86,12 @@ class ContactData(NamedTuple):
   lim_solimp: np.ndarray       # [L, 5]
   lim_diagA: np.ndarray        # [L] dof_invweight0
   nrows: int                   # total constraint rows
+  # Newton solve depth: fitted per problem size — 6/6 converges the
+  # planar models (nv<=9) to mj's optimum; wide free-root problems
+  # (ant: nv=14, ~100 rows) need 8/8 (verified to 1e-15 over random
+  # deep-penetration states in tests)
+  newton_iters: int
+  newton_ls: int
 
 
 def _mix(a1, a2, w1, w2):
@@ -216,7 +223,9 @@ def extract_contacts(m) -> ContactData:
       pt["solimp"].append(np.asarray(solimp, np.float64))
       pt["inc"].append(inc)
       pt["diagA"].append(diag_a)
-      pt["mu"].append([float(fric[0]), float(fric[1])])
+      # condim-3 tangents BOTH use the sliding friction fric[0]
+      # (fric[1] is torsional, condim>=4 only): mjContact.friction[:2]
+      pt["mu"].append([float(fric[0]), float(fric[0])])
       pt["condim"].append(condim)
 
   for g1, g2, k1, k2 in pairs:
@@ -238,8 +247,8 @@ def extract_contacts(m) -> ContactData:
       db = dof_body[d]
       sgn[p, d] = float(anc[db][pt["b2"][p]]) - float(anc[db][pt["b1"][p]])
 
-  # joint limits (1-dof hinge/slide only; the engine rejects others)
-  lim_dof, lim_lo, lim_hi, lim_margin = [], [], [], []
+  # joint limits (1-dof hinge/slide; free joints are never limited)
+  lim_dof, lim_qadr, lim_lo, lim_hi, lim_margin = [], [], [], [], []
   lim_K, lim_B, lim_solimp, lim_diag = [], [], [], []
   dof_iw = np.asarray(m.dof_invweight0, np.float64)
   for j in range(m.njnt):
@@ -248,6 +257,7 @@ def extract_contacts(m) -> ContactData:
     d = int(m.jnt_dofadr[j])
     K, B = _kb(m.jnt_solref[j], m.jnt_solimp[j])
     lim_dof.append(d)
+    lim_qadr.append(int(m.jnt_qposadr[j]))
     lim_lo.append(float(m.jnt_range[j, 0]))
     lim_hi.append(float(m.jnt_range[j, 1]))
     lim_margin.append(float(m.jnt_margin[j]))
@@ -259,6 +269,7 @@ def extract_contacts(m) -> ContactData:
   rows = len(lim_dof)
   for c in pt["condim"]:
     rows += 2 * (c - 1) if c > 1 else 1
+  deep = nv > 9 or rows > 70
 
   return ContactData(
     geom_body=gb,
@@ -286,6 +297,7 @@ def extract_contacts(m) -> ContactData:
     point_mu=np.asarray(pt["mu"], np.float64).reshape(n_pts, 2),
     point_condim=np.asarray(pt["condim"], np.int64),
     lim_dof=tuple(lim_dof),
+    lim_qadr=tuple(lim_qadr),
     lim_lo=np.asarray(lim_lo, np.float64),
     lim_hi=np.asarray(lim_hi, np.float64),
     lim_margin=np.asarray(lim_margin, np.float64),
@@ -296,6 +308,8 @@ def extract_contacts(m) -> ContactData:
     ),
     lim_diagA=np.asarray(lim_diag, np.float64),
     nrows=rows,
+    newton_iters=8 if deep else 6,
+    newton_ls=8 if deep else 6,
   )
 
 
@@ -320,31 +334,61 @@ def _geom_pose(cd: ContactData, xpos, xmat, g: int, dtype):
   return gpos, grot
 
 
+def _make_frame_tangents(n):
+  """mju_makeFrame: t1 = normalize(cross(n, tmp)), t2 = cross(n, t1),
+  tmp = +z when the normal is far from z else +y. Single normal [3]."""
+  import jax.numpy as jnp
+  ey = jnp.zeros_like(n).at[1].set(1.0)
+  ez = jnp.zeros_like(n).at[2].set(1.0)
+  tmp = jnp.where(jnp.abs(n[2]) < 0.5, ez, ey)
+  t1 = jnp.cross(n, tmp)
+  t1 = t1 / jnp.sqrt(t1 @ t1 + 1e-30)
+  return t1, jnp.cross(n, t1)
+
+
 def contact_points(cd: ContactData, xpos, xmat, dtype):
-  """Narrow phase over all candidates -> (pos [P,3], dist [P], n [P,3]).
+  """Narrow phase over all candidates.
+
+  Returns (pos [P,3], dist [P], n [P,3], t1 [P,3], t2 [P,3]).
 
   Plane-capsule: one candidate per endpoint sphere (MuJoCo's
-  ``mjc_PlaneCapsule``): dist = n.(e - p0) - r, pos = e - n (r + dist/2).
-  Capsule-capsule: closest points between the axis segments (clamped
-  parametric solve), one candidate. Spheres are capsules with zero
-  half-length. Normals point geom1 -> geom2 like mjContact.frame.
+  ``mjc_PlaneCapsule``): dist = n.(e - p0) - r, pos = e - n (r + dist/2);
+  the first tangent is the capsule axis projected onto the plane
+  (mju_makeFrame fallback when near-vertical) — the frame convention the
+  pyramid facets inherit from the collider. Plane-sphere uses the
+  mju_makeFrame tangents. Capsule-capsule: closest points between the
+  axis segments (clamped parametric solve), one candidate. Spheres are
+  capsules with zero half-length. Normals point geom1 -> geom2 like
+  mjContact.frame.
   """
   import jax.numpy as jnp
-  pos_l, dist_l, n_l = [], [], []
+  pos_l, dist_l, n_l, t1_l, t2_l = [], [], [], [], []
 
   for i, (gp, gc) in enumerate(zip(cd.pc_plane, cd.pc_cap)):
     ppos, prot = _geom_pose(cd, xpos, xmat, gp, dtype)
     n = prot[:, 2]  # plane normal = local +z
     cpos, crot = _geom_pose(cd, xpos, xmat, gc, dtype)
     r = float(cd.geom_size[gc, 0])
-    hl = float(cd.geom_size[gc, 1]) if cd.pc_two[i] else 0.0
-    axis = crot[:, 2]
-    ends = [cpos - hl * axis, cpos + hl * axis] if cd.pc_two[i] else [cpos]
+    if cd.pc_two[i]:
+      hl = float(cd.geom_size[gc, 1])
+      axis = crot[:, 2]
+      ends = [cpos - hl * axis, cpos + hl * axis]
+      # tangent along the in-plane axis projection (mjc_PlaneCapsule)
+      proj = axis - (axis @ n) * n
+      pn = jnp.sqrt(proj @ proj)
+      mf1, _ = _make_frame_tangents(n)
+      t1 = jnp.where(pn > 1e-10, proj / jnp.maximum(pn, 1e-30), mf1)
+      t2 = jnp.cross(n, t1)
+    else:
+      ends = [cpos]
+      t1, t2 = _make_frame_tangents(n)
     for e in ends:
       dist = n @ (e - ppos) - r
       pos_l.append(e - n * (r + 0.5 * dist))
       dist_l.append(dist)
       n_l.append(n)
+      t1_l.append(t1)
+      t2_l.append(t2)
 
   for g1, g2 in zip(cd.cc_g1, cd.cc_g2):
     p1, r1m = _geom_pose(cd, xpos, xmat, g1, dtype)
@@ -375,25 +419,16 @@ def contact_points(cd: ContactData, xpos, xmat, dtype):
     pos_l.append(q1 + n * (r1 + 0.5 * dist))
     dist_l.append(dist)
     n_l.append(n)
+    t1, t2 = _make_frame_tangents(n)
+    t1_l.append(t1)
+    t2_l.append(t2)
 
   if not pos_l:
     z = jnp.zeros((0,), dtype)
-    return jnp.zeros((0, 3), dtype), z, jnp.zeros((0, 3), dtype)
-  return jnp.stack(pos_l), jnp.stack(dist_l), jnp.stack(n_l)
-
-
-def _tangent_frame(n):
-  """mju_makeFrame tangents for a batch of normals [P, 3]."""
-  import jax.numpy as jnp
-  # pick a helper axis not parallel to n (matches mju_makeFrame's output
-  # (-1,0,0),(0,-1,0) for the upward plane normal)
-  ey = jnp.zeros_like(n).at[:, 1].set(1.0)
-  ez = jnp.zeros_like(n).at[:, 2].set(1.0)
-  a = jnp.where((jnp.abs(n[:, 1]) < 0.5)[:, None], ey, ez)
-  t1 = jnp.cross(n, a)
-  t1 = t1 / jnp.linalg.norm(t1, axis=1, keepdims=True)
-  t2 = jnp.cross(n, t1)
-  return t1, t2
+    z3 = jnp.zeros((0, 3), dtype)
+    return z3, z, z3, z3, z3
+  return (jnp.stack(pos_l), jnp.stack(dist_l), jnp.stack(n_l),
+          jnp.stack(t1_l), jnp.stack(t2_l))
 
 
 def _impedance_v(solimp, x):
@@ -428,7 +463,7 @@ def assemble_rows(mdl, cd: ContactData, q, v, ctx):
   L = len(cd.lim_dof)
   if L:
     dofs = np.asarray(cd.lim_dof)
-    qd = q[dofs]
+    qd = q[np.asarray(cd.lim_qadr)]
     vd = v[dofs]
     lo = jnp.asarray(cd.lim_lo, dtype)
     hi = jnp.asarray(cd.lim_hi, dtype)
@@ -458,8 +493,7 @@ def assemble_rows(mdl, cd: ContactData, q, v, ctx):
   # ---- contacts
   P = cd.point_b1.shape[0]
   if P:
-    pos, dist, n = contact_points(cd, xpos, xmat, dtype)
-    t1, t2 = _tangent_frame(n)
+    pos, dist, n, t1, t2 = contact_points(cd, xpos, xmat, dtype)
     inc = jnp.asarray(cd.point_incmargin, dtype)
     active = dist < inc
     imp = _impedance_v(

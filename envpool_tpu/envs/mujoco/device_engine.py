@@ -12,10 +12,11 @@ Scope: kinematic trees of 1-DOF joints (hinge/slide), motor actuators,
 joint damping/armature/springs, gravity, the inertia-box fluid model,
 joint-limit constraints, and — via ``device_collision.py`` — MuJoCo's
 full contact pipeline (plane/sphere/capsule narrow phase, pyramidal
-friction cones, soft-constraint rows, primal Newton solve). This covers
-the complete physics of the planar gym tasks: Reacher, InvertedPendulum,
-InvertedDoublePendulum, Swimmer, HalfCheetah, Hopper, Walker2d. Free/ball
-joints (quaternion states: Ant, Humanoid) stay on the host tier.
+friction cones, soft-constraint rows, primal Newton solve), plus free
+(quaternion-root) joints with mj_integratePos semantics. This covers the
+complete physics of the gym tasks Reacher, InvertedPendulum,
+InvertedDoublePendulum, Swimmer, HalfCheetah, Hopper, Walker2d and Ant.
+Ball joints (Humanoid) stay on the host tier.
 
 Pipeline per step, mirroring ``mj_step`` with the Euler integrator:
 
@@ -65,10 +66,12 @@ class DeviceModel(NamedTuple):
   body_ipos: np.ndarray                # [nbody, 3] com offset, body frame
   body_inertia_w: np.ndarray           # [nbody, 3, 3] I_c in body frame
   body_joints: Tuple[Tuple[int, ...], ...]   # per body: joint ids, in order
+  body_dofs: Tuple[Tuple[int, ...], ...]     # per body: dof ids, in order
   jnt_type: Tuple[int, ...]
   jnt_axis: np.ndarray                 # [njnt, 3] (body frame)
   jnt_pos: np.ndarray                  # [njnt, 3] (body frame)
-  jnt_dof: Tuple[int, ...]             # joint -> dof/qpos index (1-dof)
+  jnt_dof: Tuple[int, ...]             # joint -> first dof index
+  jnt_qadr: Tuple[int, ...]            # joint -> first qpos index
   jnt_limited: Tuple[bool, ...]
   jnt_range: np.ndarray                # [njnt, 2]
   jnt_margin: np.ndarray               # [njnt]
@@ -138,19 +141,31 @@ def extract_model(xml_path: str) -> DeviceModel:
   m = mujoco.MjModel.from_xml_path(xml_path)
 
   for j in range(m.njnt):
-    if m.jnt_type[j] not in (_JNT_SLIDE, _JNT_HINGE):
+    if m.jnt_type[j] not in (_JNT_SLIDE, _JNT_HINGE, _JNT_FREE):
       raise NotImplementedError(
-        "device engine supports hinge/slide joints only"
+        "device engine supports free/hinge/slide joints only"
       )
+    if m.jnt_type[j] == _JNT_FREE:
+      b = int(m.jnt_bodyid[j])
+      if int(m.body_jntnum[b]) != 1:
+        raise NotImplementedError("free joint must be its body's only joint")
+      if float(m.jnt_stiffness[j]) != 0.0:
+        raise NotImplementedError("springs on free joints not supported")
   if m.ntendon or m.neq:
     raise NotImplementedError("tendons/equality constraints not supported")
   if np.any(np.asarray(m.dof_frictionloss) != 0.0):
     raise NotImplementedError("dof frictionloss not supported")
 
   body_joints: List[Tuple[int, ...]] = []
+  body_dofs: List[Tuple[int, ...]] = []
   for b in range(m.nbody):
     adr, num = int(m.body_jntadr[b]), int(m.body_jntnum[b])
     body_joints.append(tuple(range(adr, adr + num)) if num else ())
+    dofs: List[int] = []
+    for j in body_joints[-1]:
+      nd = 6 if m.jnt_type[j] == _JNT_FREE else 1
+      dofs.extend(range(int(m.jnt_dofadr[j]), int(m.jnt_dofadr[j]) + nd))
+    body_dofs.append(tuple(dofs))
 
   # I_c rotated into the body frame: R_i diag(inertia) R_i^T
   inertia_w = np.zeros((m.nbody, 3, 3))
@@ -215,10 +230,12 @@ def extract_model(xml_path: str) -> DeviceModel:
     body_ipos=np.asarray(m.body_ipos, dtype=np.float64),
     body_inertia_w=inertia_w,
     body_joints=tuple(body_joints),
+    body_dofs=tuple(body_dofs),
     jnt_type=tuple(int(t) for t in m.jnt_type),
     jnt_axis=np.asarray(m.jnt_axis, dtype=np.float64),
     jnt_pos=np.asarray(m.jnt_pos, dtype=np.float64),
     jnt_dof=tuple(int(d) for d in m.jnt_dofadr),
+    jnt_qadr=tuple(int(a) for a in m.jnt_qposadr),
     jnt_limited=tuple(bool(x) for x in m.jnt_limited),
     jnt_range=np.asarray(m.jnt_range, dtype=np.float64).reshape(m.njnt, 2),
     jnt_margin=np.asarray(m.jnt_margin, dtype=np.float64),
@@ -274,10 +291,30 @@ def _rotm_axis_angle(axis, angle):
   return jnp.eye(3, dtype=axis.dtype) + s * k + (1 - c) * (k @ k)
 
 
-def fk(mdl: DeviceModel, q):
-  """mj_kinematics: world pose per body + world anchor/axis per joint.
+def _quat2rotm_j(qt):
+  """Traceable quaternion -> rotation matrix (normalizes first,
+  matching mj_kinematics' mju_normalize4)."""
+  import jax.numpy as jnp
+  qt = qt / jnp.sqrt(qt @ qt)
+  w, x, y, z = qt[0], qt[1], qt[2], qt[3]
+  return jnp.stack([
+    jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+               2 * (x * z + w * y)]),
+    jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+               2 * (y * z - w * x)]),
+    jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+               1 - 2 * (x * x + y * y)]),
+  ])
 
-  Returns (xpos[nbody,3], xmat[nbody,3,3], anchors{jid: [3]}, axes{jid}).
+
+def fk(mdl: DeviceModel, q):
+  """mj_kinematics: world pose per body + world anchor/axis per DOF.
+
+  Returns (xpos[nbody,3], xmat[nbody,3,3], anchors{dof: [3]}, axes{dof}).
+  A free joint contributes 6 dof entries: 3 world-axis slides (anchor
+  unused) and 3 rotations about the body-frame axes through the body
+  origin — matching MuJoCo's cdof convention (angular velocity in the
+  child body's local frame).
   """
   import jax.numpy as jnp
   dt = q.dtype
@@ -285,45 +322,57 @@ def fk(mdl: DeviceModel, q):
   xmat = [jnp.eye(3, dtype=dt)] * mdl.nbody
   anchors: Dict[int, Any] = {}
   axes: Dict[int, Any] = {}
+  eye3 = np.eye(3)
   for b in range(1, mdl.nbody):
     p = mdl.parent[b]
     pos = xpos[p] + xmat[p] @ jnp.asarray(mdl.body_pos[b], dt)
     rot = xmat[p] @ jnp.asarray(mdl.body_rotm[b], dt)
     for j in mdl.body_joints[b]:
+      d = mdl.jnt_dof[j]
+      qa = mdl.jnt_qadr[j]
+      if mdl.jnt_type[j] == _JNT_FREE:
+        # pose comes straight from qpos (body_pos folded into qpos0)
+        pos = q[qa:qa + 3]
+        rot = _quat2rotm_j(q[qa + 3:qa + 7])
+        for i in range(3):
+          axes[d + i] = jnp.asarray(eye3[i], dt)      # world slides
+          axes[d + 3 + i] = rot[:, i]                 # body-axis hinges
+          anchors[d + 3 + i] = pos
+        continue
       jpos = jnp.asarray(mdl.jnt_pos[j], dt)
       jax_ = jnp.asarray(mdl.jnt_axis[j], dt)
       anchor = pos + rot @ jpos
       axis_w = rot @ jax_
       # joint displacement is measured from the reference pose: the XML
       # ``ref`` attribute lands in m.qpos0 (mj_kinematics subtracts it)
-      qj = q[mdl.jnt_dof[j]] - jnp.asarray(
-        mdl.init_qpos[mdl.jnt_dof[j]], dt
-      )
+      qj = q[qa] - jnp.asarray(mdl.init_qpos[qa], dt)
       if mdl.jnt_type[j] == _JNT_HINGE:
         r = _rotm_axis_angle(axis_w, qj)
         rot = r @ rot
         pos = anchor - rot @ jpos
+        anchors[d] = anchor  # rotational dofs only (see _motion_subspaces)
       else:  # slide
         pos = pos + axis_w * qj
-      anchors[j] = anchor
-      axes[j] = axis_w
+      axes[d] = axis_w
     xpos[b] = pos
     xmat[b] = rot
   return xpos, xmat, anchors, axes
 
 
 def _motion_subspaces(mdl: DeviceModel, anchors, axes):
-  """World-origin Plucker motion subspace [omega; v_origin] per dof."""
+  """World-origin Plucker motion subspace [omega; v_origin] per dof.
+
+  Rotational dofs (hinges, free-joint rotations) have an anchor entry;
+  translational ones (slides, free-joint translations) do not.
+  """
   import jax.numpy as jnp
   S = [None] * mdl.nv
-  for b in range(1, mdl.nbody):
-    for j in mdl.body_joints[b]:
-      d = mdl.jnt_dof[j]
-      a = axes[j]
-      if mdl.jnt_type[j] == _JNT_HINGE:
-        S[d] = jnp.concatenate([a, jnp.cross(anchors[j], a)])
-      else:
-        S[d] = jnp.concatenate([jnp.zeros(3, a.dtype), a])
+  for d in range(mdl.nv):
+    a = axes[d]
+    if d in anchors:  # rotational
+      S[d] = jnp.concatenate([a, jnp.cross(anchors[d], a)])
+    else:  # translational
+      S[d] = jnp.concatenate([jnp.zeros(3, a.dtype), a])
   return S
 
 
@@ -413,8 +462,7 @@ def body_velocities(mdl: DeviceModel, v, S):
   for b in range(1, mdl.nbody):
     p = mdl.parent[b]
     vj = zero6
-    for j in mdl.body_joints[b]:
-      d = mdl.jnt_dof[j]
+    for d in mdl.body_dofs[b]:
       vj = vj + S[d] * v[d]
     vel[b] = vel[p] + vj
   return vel
@@ -435,17 +483,27 @@ def bias_forces(mdl: DeviceModel, q, v, ctx=None):
   f = [zero6] * mdl.nbody
   for b in range(1, mdl.nbody):
     p = mdl.parent[b]
-    # joints within a body form a serial chain of massless virtual
-    # bodies: each joint's velocity-product term uses the velocity
-    # accumulated UP TO that joint, not the body total (they differ
-    # whenever a body has >1 joint, e.g. swimmer's 3-joint torso)
+    # 1-dof joints within a body form a serial chain of massless
+    # virtual bodies: each dof's velocity-product term uses the
+    # velocity accumulated UP TO that dof (they differ whenever a body
+    # has >1 joint, e.g. swimmer's 3-joint torso). A free joint is ONE
+    # joint: its translations contribute no velocity-product term
+    # (world-fixed axes) and its 3 rotational dofs act as a single
+    # block whose term uses the pre-rotation velocity — mj_comVel's
+    # ball/free case, verified at 1e-15 vs qfrc_bias.
     vel_b = vel[p]
     acc_b = acc[p]
     for j in mdl.body_joints[b]:
       d = mdl.jnt_dof[j]
-      vj = S[d] * v[d]
-      vel_b = vel_b + vj
-      acc_b = acc_b + _cross_m(vel_b, vj)
+      if mdl.jnt_type[j] == _JNT_FREE:
+        vel_b = vel_b + sum(S[d + i] * v[d + i] for i in range(3))
+        vrot = sum(S[d + 3 + i] * v[d + 3 + i] for i in range(3))
+        acc_b = acc_b + _cross_m(vel_b, vrot)
+        vel_b = vel_b + vrot
+      else:
+        vj = S[d] * v[d]
+        vel_b = vel_b + vj
+        acc_b = acc_b + _cross_m(vel_b, vj)
     vel[b] = vel_b
     acc[b] = acc_b
     f[b] = Is[b] @ acc[b] + _cross_f(vel[b], Is[b] @ vel[b])
@@ -486,13 +544,17 @@ def passive_spring_force(mdl: DeviceModel, q):
   """Joint springs: -stiffness * (q - qpos_spring) (mj_passive)."""
   import jax.numpy as jnp
   dt = q.dtype
-  k = jnp.zeros(mdl.nv, dt)
-  ref = jnp.zeros(mdl.nv, dt)
+  qfrc = jnp.zeros(mdl.nv, dt)
   for j in range(len(mdl.jnt_type)):
-    d = mdl.jnt_dof[j]
-    k = k.at[d].set(float(mdl.jnt_stiffness[j]))
-    ref = ref.at[d].set(float(mdl.qpos_spring[d]))
-  return -k * (q - ref)
+    if mdl.jnt_type[j] == _JNT_FREE:
+      continue  # extract_model asserts zero stiffness on free joints
+    d, qa = mdl.jnt_dof[j], mdl.jnt_qadr[j]
+    stiff = float(mdl.jnt_stiffness[j])
+    if stiff:
+      qfrc = qfrc.at[d].set(
+        -stiff * (q[qa] - float(mdl.qpos_spring[qa]))
+      )
+  return qfrc
 
 
 def _solve_psd(A, b):
@@ -581,15 +643,15 @@ def limit_constraint_force(mdl: DeviceModel, q, v, Minv, qacc_smooth):
       return Minv[i, j]
   sgn, dofs, aref, a0, rreg, active = [], [], [], [], [], []
   for j in lim:
-    d = mdl.jnt_dof[j]
+    d, qa = mdl.jnt_dof[j], mdl.jnt_qadr[j]
     lo, hi = float(mdl.jnt_range[j, 0]), float(mdl.jnt_range[j, 1])
     margin = float(mdl.jnt_margin[j])
     tc, dr = float(mdl.jnt_solref[j, 0]), float(mdl.jnt_solref[j, 1])
     tc = max(tc, 2.0 * mdl.timestep)  # MuJoCo clamps tc at 2*timestep
     dmax = float(mdl.jnt_solimp[j, 1])
     width = float(mdl.jnt_solimp[j, 2])
-    dist_lo = q[d] - lo
-    dist_hi = hi - q[d]
+    dist_lo = q[qa] - lo
+    dist_hi = hi - q[qa]
     use_lo = dist_lo < dist_hi
     dist = jnp.where(use_lo, dist_lo, dist_hi)
     s = jnp.where(use_lo, 1.0, -1.0).astype(dtype)
@@ -724,8 +786,12 @@ def _contact_solve(mdl: DeviceModel, q, v, M, qfrc_smooth, ctx):
   """Unified limit+contact solve -> (qacc, qfrc_constraint)."""
   from . import device_collision as dc
   qacc_sm = _solve_psd(M, qfrc_smooth)
-  J, aref, D, mask = dc.assemble_rows(mdl, mdl.contacts, q, v, ctx)
-  qacc, f = dc.newton_qacc(_solve_psd, M, qacc_sm, J, aref, D, mask)
+  cd = mdl.contacts
+  J, aref, D, mask = dc.assemble_rows(mdl, cd, q, v, ctx)
+  qacc, f = dc.newton_qacc(
+    _solve_psd, M, qacc_sm, J, aref, D, mask,
+    iters=cd.newton_iters, ls_iters=cd.newton_ls,
+  )
   return qacc, J.T @ f
 
 
@@ -768,6 +834,44 @@ def _qacc_full(mdl: DeviceModel, q, v, tau):
   return qacc_sm + _solve_psd(M, qfrc_con)
 
 
+def _has_free(mdl: DeviceModel) -> bool:
+  return any(t == _JNT_FREE for t in mdl.jnt_type)
+
+
+def _quat_mul(a, b):
+  import jax.numpy as jnp
+  aw, av = a[0], a[1:]
+  bw, bv = b[0], b[1:]
+  return jnp.concatenate([
+    (aw * bw - av @ bv)[None], aw * bv + bw * av + jnp.cross(av, bv)
+  ])
+
+
+def integrate_pos(mdl: DeviceModel, q, v, h):
+  """mj_integratePos: qpos += h*qvel, quaternions via the exponential
+  map of the LOCAL angular velocity (mju_quatIntegrate) + normalize."""
+  import jax.numpy as jnp
+  if not _has_free(mdl):
+    return q + h * v
+  dt = q.dtype
+  out = q
+  for j in range(len(mdl.jnt_type)):
+    d, qa = mdl.jnt_dof[j], mdl.jnt_qadr[j]
+    if mdl.jnt_type[j] == _JNT_FREE:
+      out = out.at[qa:qa + 3].set(q[qa:qa + 3] + h * v[d:d + 3])
+      w = v[d + 3:d + 6]
+      ang = jnp.sqrt(w @ w + 1e-30) * h
+      # sin(ang/2)/|w| with the |w| -> 0 limit h/2
+      s = jnp.where(ang > 1e-12, jnp.sin(ang / 2) / (ang / h), h / 2)
+      rot = jnp.concatenate([jnp.cos(ang / 2)[None], s * w])
+      quat = _quat_mul(q[qa + 3:qa + 7], rot)
+      quat = quat / jnp.sqrt(quat @ quat)
+      out = out.at[qa + 3:qa + 7].set(quat.astype(dt))
+    else:
+      out = out.at[qa].set(q[qa] + h * v[d])
+  return out
+
+
 def step_smooth(mdl: DeviceModel, q, v, ctrl, nstep: int = 1):
   """mj_step x nstep, smooth dynamics only, per the model's integrator.
 
@@ -787,13 +891,13 @@ def step_smooth(mdl: DeviceModel, q, v, ctrl, nstep: int = 1):
   def one_step(q, v):
     if mdl.integrator == 1:  # RK4 (full dynamics per stage)
       a1 = _qacc_full(mdl, q, v, tau)
-      q2, v2 = q + 0.5 * h * v, v + 0.5 * h * a1
+      q2, v2 = integrate_pos(mdl, q, v, 0.5 * h), v + 0.5 * h * a1
       a2 = _qacc_full(mdl, q2, v2, tau)
-      q3, v3 = q + 0.5 * h * v2, v + 0.5 * h * a2
+      q3, v3 = integrate_pos(mdl, q, v2, 0.5 * h), v + 0.5 * h * a2
       a3 = _qacc_full(mdl, q3, v3, tau)
-      q4, v4 = q + h * v3, v + h * a3
+      q4, v4 = integrate_pos(mdl, q, v3, h), v + h * a3
       a4 = _qacc_full(mdl, q4, v4, tau)
-      q = q + (h / 6.0) * (v + 2 * v2 + 2 * v3 + v4)
+      q = integrate_pos(mdl, q, (v + 2 * v2 + 2 * v3 + v4) / 6.0, h)
       v = v + (h / 6.0) * (a1 + 2 * a2 + 2 * a3 + a4)
     else:  # Euler with implicit damping
       M, qfrc_smooth, ctx = _qacc_smooth_parts(mdl, q, v, tau)
@@ -809,7 +913,7 @@ def step_smooth(mdl: DeviceModel, q, v, ctrl, nstep: int = 1):
       A = M + h * jnp.diag(damping)
       qacc = _solve_psd(A, qfrc)
       v = v + h * qacc
-      q = q + h * v
+      q = integrate_pos(mdl, q, v, h)
     return q, v
 
   if nstep > 1 and _has_contact_points(mdl):

@@ -11,10 +11,11 @@ with no per-step host traffic.
 
 Registered ids: ``ReacherJax-v4``, ``InvertedPendulumJax-v4``,
 ``InvertedDoublePendulumJax-v4``, ``SwimmerJax-v4`` (contact-free), plus
-the contact-rich planar locomotion tasks ``HalfCheetahJax-v4``,
-``HopperJax-v4``, ``Walker2dJax-v4`` — these run MuJoCo's full contact
-pipeline (plane/capsule collision, pyramidal friction, Newton solve) on
-device via ``device_collision.py``. Swimmer exercises the engine's fluid
+the contact-rich locomotion tasks ``HalfCheetahJax-v4``,
+``HopperJax-v4``, ``Walker2dJax-v4`` and ``AntJax-v4`` (free quaternion
+root) — these run MuJoCo's full contact pipeline (plane/sphere/capsule
+collision, pyramidal friction, Newton solve) on device via
+``device_collision.py``. Swimmer exercises the engine's fluid
 model (density/viscosity medium forces) and RK4 integration
 (``envpool/mujoco/gym/swimmer.h`` semantics).
 
@@ -578,3 +579,112 @@ class Walker2dJaxEnv(HopperJaxEnv):
       & (angle >= float(cfg.healthy_angle_min))
       & (angle <= float(cfg.healthy_angle_max))
     )
+
+
+class AntJaxEnv(DeviceMujocoEnv):
+  """Ant-v4 on-device (``envpool/mujoco/gym/ant.h:30-226``).
+
+  First free-joint (quaternion root) task through the device engine:
+  RK4 over 3D rigid-body dynamics with 25 candidate plane contacts
+  (8 leg capsules x 2 endpoints + torso sphere + 8 ankle capsules x 2)
+  resolved by the on-device Newton solve each stage. The gym v4 default
+  ``use_contact_forces=False`` observation (27-dim) is implemented;
+  cfrc_ext observations are not (host tier covers that variant).
+  """
+
+  name = "AntJax"
+  xml_file = "ant.xml"
+  frame_skip = 5
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {
+      "reward_threshold": 6000.0,
+      "terminate_when_unhealthy": True,
+      "forward_reward_weight": 1.0,
+      "ctrl_cost_weight": 0.5,
+      "healthy_reward": 1.0,
+      "healthy_z_min": 0.2, "healthy_z_max": 1.0,
+      "reset_noise_scale": 0.1,
+    }
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {
+      "obs": ArraySpec(np.float32, (27,), -_INF, _INF),
+      "info:reward_forward": ArraySpec(np.float32, (-1,)),
+      "info:reward_ctrl": ArraySpec(np.float32, (-1,)),
+      "info:reward_survive": ArraySpec(np.float32, (-1,)),
+      "info:x_position": ArraySpec(np.float32, (-1,)),
+      "info:y_position": ArraySpec(np.float32, (-1,)),
+      "info:distance_from_origin": ArraySpec(np.float32, (-1,)),
+      "info:x_velocity": ArraySpec(np.float32, (-1,)),
+      "info:y_velocity": ArraySpec(np.float32, (-1,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float32, (-1, 8), -1.0, 1.0)}
+
+  @staticmethod
+  def _obs(state):
+    return jnp.concatenate([state["q"][2:], state["v"]])
+
+  @classmethod
+  def _healthy(cls, cfg, state):
+    z = state["q"][2]
+    finite = jnp.all(jnp.isfinite(state["q"])) & jnp.all(
+      jnp.isfinite(state["v"])
+    )
+    return (
+      finite
+      & (z >= float(cfg.healthy_z_min))
+      & (z <= float(cfg.healthy_z_max))
+    )
+
+  @classmethod
+  def reset(cls, cfg: Any, state: Any, key: jax.Array):
+    mdl = cls.mdl()
+    kq, kv = jax.random.split(key)
+    s = float(cfg.reset_noise_scale)
+    q = jnp.asarray(mdl.init_qpos, jnp.float32) + jax.random.uniform(
+      kq, (mdl.nq,), jnp.float32, -s, s
+    )
+    v = s * jax.random.normal(kv, (mdl.nv,), jnp.float32)
+    state = {"q": q, "v": v}
+    zero = jnp.float32(0.0)
+    return state, cls._obs(state), {
+      "reward_forward": zero, "reward_ctrl": zero, "reward_survive": zero,
+      "x_position": q[0], "y_position": q[1],
+      "distance_from_origin": jnp.sqrt(q[0] ** 2 + q[1] ** 2),
+      "x_velocity": zero, "y_velocity": zero,
+    }
+
+  @classmethod
+  def step(cls, cfg: Any, state: Any, action: Any, key: jax.Array):
+    del key
+    mdl = cls.mdl()
+    action = jnp.asarray(action, jnp.float32)
+    x0, y0 = state["q"][0], state["q"][1]
+    q1, v1 = cls._physics(state, action)
+    state = {"q": q1, "v": v1}
+    dt = cls.frame_skip * mdl.timestep
+    xv = (q1[0] - x0) / dt
+    yv = (q1[1] - y0) / dt
+    reward_forward = float(cfg.forward_reward_weight) * xv
+    ctrl_cost = float(cfg.ctrl_cost_weight) * jnp.sum(jnp.square(action))
+    healthy = cls._healthy(cfg, state)
+    if bool(cfg.terminate_when_unhealthy):
+      survive = jnp.float32(float(cfg.healthy_reward))
+      term = ~healthy
+    else:
+      survive = jnp.where(healthy, float(cfg.healthy_reward), 0.0)
+      term = jnp.bool_(False)
+    reward = reward_forward + survive - ctrl_cost
+    return state, cls._obs(state), reward, term, {
+      "reward_forward": reward_forward, "reward_ctrl": -ctrl_cost,
+      "reward_survive": survive,
+      "x_position": q1[0], "y_position": q1[1],
+      "distance_from_origin": jnp.sqrt(q1[0] ** 2 + q1[1] ** 2),
+      "x_velocity": xv, "y_velocity": yv,
+    }

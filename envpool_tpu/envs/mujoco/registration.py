@@ -95,6 +95,7 @@ for task, max_episode_steps in [
   ("HalfCheetah", 1000),
   ("Hopper", 1000),
   ("Walker2d", 1000),
+  ("Ant", 1000),
 ]:
   register(
     task_id=f"{task}Jax-v4",

@@ -22,7 +22,8 @@ import jax.numpy as jnp  # noqa: E402
 from envpool_tpu.envs.mujoco import device_collision as dc  # noqa: E402
 from envpool_tpu.envs.mujoco import device_engine as de  # noqa: E402
 
-CONTACT_MODELS = ["half_cheetah.xml", "hopper.xml", "walker2d.xml"]
+CONTACT_MODELS = ["half_cheetah.xml", "hopper.xml", "walker2d.xml",
+                  "ant.xml"]
 
 
 def _asset(n):
@@ -43,11 +44,22 @@ def _mj(xml):
 
 
 def _random_state(m, rng, xml):
-  q = m.qpos0 + rng.uniform(-0.2, 0.2, m.nq)
   # root height: mix grounded / penetrating / airborne states
-  q[1] = rng.uniform(-0.45, 0.1) if xml == "half_cheetah.xml" else (
-    rng.uniform(0.55, 1.1)
-  )
+  if xml == "ant.xml":
+    q = m.qpos0.copy()
+    q[:2] += rng.uniform(-0.3, 0.3, 2)
+    q[2] = rng.uniform(0.2, 0.8)
+    quat = (
+      np.array([1.0, *rng.uniform(-0.2, 0.2, 3)])
+      if rng.random() < 0.5 else rng.normal(size=4)
+    )
+    q[3:7] = quat / np.linalg.norm(quat)
+    q[7:] += rng.uniform(-0.3, 0.3, 8)
+  else:
+    q = m.qpos0 + rng.uniform(-0.2, 0.2, m.nq)
+    q[1] = rng.uniform(-0.45, 0.1) if xml == "half_cheetah.xml" else (
+      rng.uniform(0.55, 1.1)
+    )
   v = rng.uniform(-1.0, 1.0, m.nv)
   ctrl = rng.uniform(-1.0, 1.0, m.nu)
   return q, v, ctrl
@@ -144,6 +156,7 @@ def test_includemargin_matches_mujoco() -> None:
     # solver-tolerance difference through stiff contact events
     ("hopper.xml", 1e-10),
     ("walker2d.xml", 1e-10),
+    ("ant.xml", 1e-10),
     ("half_cheetah.xml", 1e-4),
   ],
 )
@@ -207,6 +220,7 @@ def test_limit_rows_match_efc_unclamped_timeconst() -> None:
     ("HalfCheetahJax-v4", "HalfCheetah-v4", 6, 10),
     ("HopperJax-v4", "Hopper-v4", 3, 10),
     ("Walker2dJax-v4", "Walker2d-v4", 6, 10),
+    ("AntJax-v4", "Ant-v4", 8, 10),
   ],
 )
 def test_contact_env_aligns_with_gymnasium(task, gym_id, adim, steps):
@@ -219,6 +233,7 @@ def test_contact_env_aligns_with_gymnasium(task, gym_id, adim, steps):
     "HalfCheetahJax-v4": dt.HalfCheetahJaxEnv,
     "HopperJax-v4": dt.HopperJaxEnv,
     "Walker2dJax-v4": dt.Walker2dJaxEnv,
+    "AntJax-v4": dt.AntJaxEnv,
   }[task]
   spec = envpool_tpu.make_spec(task, num_envs=1, seed=0)
   cfg = spec.config
@@ -229,8 +244,9 @@ def test_contact_env_aligns_with_gymnasium(task, gym_id, adim, steps):
   genv.unwrapped.set_state(
     np.asarray(state["q"], np.float64), np.asarray(state["v"], np.float64)
   )
+  skip = 2 if task == "AntJax-v4" else 1
   gobs0 = np.concatenate([
-    np.asarray(state["q"])[1:],
+    np.asarray(state["q"])[skip:],
     np.clip(np.asarray(state["v"]), -10, 10),
   ])
   assert np.abs(np.asarray(obs0, np.float64) - gobs0).max() < 1e-5
@@ -256,7 +272,8 @@ def test_contact_tasks_through_pool() -> None:
   import envpool_tpu
 
   for task, adim in [
-    ("HalfCheetahJax-v4", 6), ("HopperJax-v4", 3), ("Walker2dJax-v4", 6)
+    ("HalfCheetahJax-v4", 6), ("HopperJax-v4", 3), ("Walker2dJax-v4", 6),
+    ("AntJax-v4", 8),
   ]:
     env = envpool_tpu.make_gymnasium(task, num_envs=4, seed=0)
     obs, _ = env.reset()

@@ -233,9 +233,11 @@ def test_device_mujoco_through_pool_deterministic() -> None:
 
 
 def test_unsupported_models_raise() -> None:
-  """Contact-rich / free-joint models are rejected with a clear error."""
+  """Ball-joint models are rejected with a clear error (ant's free
+  joint and contacts are now in scope — see test_device_contacts.py)."""
   with pytest.raises(NotImplementedError):
-    de.extract_model(_asset("ant.xml"))
+    de.extract_model(_asset("humanoid.xml"))
+  assert de.extract_model(_asset("ant.xml")).contacts is not None
 
 
 def test_fluid_force_matches_qfrc_passive() -> None:
