@@ -551,7 +551,7 @@ def assemble_rows(mdl, cd: ContactData, q, v, ctx):
 
 
 def newton_qacc(solve_psd, M, a0, J, aref, D, mask,
-                iters: int = 6, ls_iters: int = 6):
+                iters: int = 6, ls_iters: int = 6, start=None):
   """MuJoCo's primal Newton solve over qacc (solver=Newton, pyramidal).
 
   Minimizes  0.5 (a-a0)' M (a-a0) + 0.5 sum_i w_i(a) D_i (J_i a - aref_i)^2
@@ -596,7 +596,7 @@ def newton_qacc(solve_psd, M, a0, J, aref, D, mask,
     )
     return a + alpha * delta
 
-  a = lax.fori_loop(0, iters, body, a0)
+  a = lax.fori_loop(0, iters, body, a0 if start is None else start)
   r = J @ a - aref
   f = jnp.maximum(0.0, -(Dm * r))
   return a, f

@@ -282,3 +282,25 @@ def test_contact_tasks_through_pool() -> None:
         np.zeros((4, adim), np.float32)
       )
     assert np.isfinite(obs).all() and np.isfinite(rew).all()
+
+
+@pytest.mark.parametrize("xml", ["ant.xml", "hopper.xml", "half_cheetah.xml"])
+def test_warmstart_chain_parity(xml) -> None:
+  """step_smooth(nstep=N) warm-chains solves like mjData.qacc_warmstart:
+  one 60-substep chain tracks mj WITH warmstart (gym's real semantics)."""
+  with _x64():
+    mdl = de.extract_model(_asset(xml))
+    m = mujoco.MjModel.from_xml_path(_asset(xml))  # warmstart ENABLED
+    d = mujoco.MjData(m)
+    rng = np.random.default_rng(4)
+    ctrl = rng.uniform(-0.5, 0.5, m.nu)
+    d.qpos[:] = m.qpos0
+    d.ctrl[:] = ctrl
+    cj = jnp.asarray(ctrl)
+    q1, v1 = de.step_smooth(
+      mdl, jnp.asarray(m.qpos0.copy()), jnp.zeros(m.nv), cj, nstep=60
+    )
+    for _ in range(60):
+      mujoco.mj_step(m, d)
+    tol = 1e-4 if xml == "half_cheetah.xml" else 1e-9
+    assert np.abs(np.asarray(q1) - d.qpos).max() < tol
