@@ -7,6 +7,8 @@ from envpool_tpu.core.host_pool import HostEnvPool
 from .device_tasks import (
   AntJaxEnv,
   HalfCheetahJaxEnv,
+  HumanoidJaxEnv,
+  HumanoidStandupJaxEnv,
   HopperJaxEnv,
   InvertedDoublePendulumJaxEnv,
   InvertedPendulumJaxEnv,
@@ -52,7 +54,7 @@ for _env_cls in (
 for _env_cls in (
   ReacherJaxEnv, InvertedPendulumJaxEnv, InvertedDoublePendulumJaxEnv,
   SwimmerJaxEnv, HalfCheetahJaxEnv, HopperJaxEnv, Walker2dJaxEnv,
-  AntJaxEnv,
+  AntJaxEnv, HumanoidJaxEnv, HumanoidStandupJaxEnv,
 ):
   _spec, _dm, _gym, _gymnasium = py_env(_env_cls)
   _name = _env_cls.name

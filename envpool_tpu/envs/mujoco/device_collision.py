@@ -600,3 +600,51 @@ def newton_qacc(solve_psd, M, a0, J, aref, D, mask,
   r = J @ a - aref
   f = jnp.maximum(0.0, -(Dm * r))
   return a, f
+
+
+def contact_wrenches(cd: ContactData, mdl, q, v, ctx, f_rows, nbody: int):
+  """Per-body external contact wrench about the WORLD ORIGIN [nbody, 6].
+
+  Rebuilds each candidate point's world force from the solved row forces
+  (pyramid facets: F = n*sum(lam) + mu1*t1*(lam1-lam2) + mu2*t2*
+  (lam3-lam4); condim-1: F = n*lam) and accumulates +wrench on body2 /
+  -wrench on body1 — mj_rnePostConstraint's cfrc_ext contribution, which
+  skips the world body. Row layout mirrors assemble_rows: limits first,
+  then condim-1 points, then 4 facets per condim-3 point. The narrow
+  phase is re-evaluated here; XLA CSE merges it with assemble_rows' call.
+  """
+  import jax.numpy as jnp
+  xpos, xmat = ctx[0], ctx[1]
+  dtype = q.dtype
+  P = cd.point_b1.shape[0]
+  out = jnp.zeros((nbody, 6), dtype)
+  if not P:
+    return out
+  pos, dist, n, t1, t2 = contact_points(cd, xpos, xmat, dtype)
+  L = len(cd.lim_dof)
+  one = np.where(cd.point_condim == 1)[0]
+  pyr = np.where(cd.point_condim == 3)[0]
+  F = jnp.zeros((P, 3), dtype)
+  if len(one):
+    lam = f_rows[L:L + len(one)]
+    F = F.at[one].set(n[one] * lam[:, None])
+  if len(pyr):
+    lam = f_rows[L + len(one):].reshape(len(pyr), 4)
+    m1 = jnp.asarray(cd.point_mu[pyr, 0], dtype)[:, None]
+    m2 = jnp.asarray(cd.point_mu[pyr, 1], dtype)[:, None]
+    Fp = (
+      n[pyr] * jnp.sum(lam, axis=1)[:, None]
+      + m1 * t1[pyr] * (lam[:, 0] - lam[:, 1])[:, None]
+      + m2 * t2[pyr] * (lam[:, 2] - lam[:, 3])[:, None]
+    )
+    F = F.at[pyr].set(Fp)
+  trq = jnp.cross(pos, F)
+  wrench = jnp.concatenate([trq, F], axis=1)          # [P, 6]
+  # static +-1 body-assignment matrix, world row excluded
+  assign = np.zeros((P, nbody))
+  for p in range(P):
+    if int(cd.point_b2[p]) != 0:
+      assign[p, int(cd.point_b2[p])] += 1.0
+    if int(cd.point_b1[p]) != 0:
+      assign[p, int(cd.point_b1[p])] -= 1.0
+  return jnp.einsum("pb,pk->bk", jnp.asarray(assign, dtype), wrench)

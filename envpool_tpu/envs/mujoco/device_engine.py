@@ -15,8 +15,9 @@ full contact pipeline (plane/sphere/capsule narrow phase, pyramidal
 friction cones, soft-constraint rows, primal Newton solve), plus free
 (quaternion-root) joints with mj_integratePos semantics. This covers the
 complete physics of the gym tasks Reacher, InvertedPendulum,
-InvertedDoublePendulum, Swimmer, HalfCheetah, Hopper, Walker2d and Ant.
-Ball joints (Humanoid) stay on the host tier.
+InvertedDoublePendulum, Swimmer, HalfCheetah, Hopper, Walker2d, Ant,
+Humanoid and HumanoidStandup (whose inert tendons are validated and
+skipped). Only Pusher (cylinder geoms) stays host-tier-only.
 
 Pipeline per step, mirroring ``mj_step`` with the Euler integrator:
 
@@ -151,8 +152,18 @@ def extract_model(xml_path: str) -> DeviceModel:
         raise NotImplementedError("free joint must be its body's only joint")
       if float(m.jnt_stiffness[j]) != 0.0:
         raise NotImplementedError("springs on free joints not supported")
-  if m.ntendon or m.neq:
-    raise NotImplementedError("tendons/equality constraints not supported")
+  for t in range(m.ntendon):
+    # dynamically-inert tendons (humanoid's hipknee markers: no
+    # stiffness/damping/limits/friction) have no effect on mj dynamics
+    if (
+      float(m.tendon_stiffness[t]) != 0.0
+      or float(m.tendon_damping[t]) != 0.0
+      or bool(m.tendon_limited[t])
+      or float(m.tendon_frictionloss[t]) != 0.0
+    ):
+      raise NotImplementedError("active tendons not supported")
+  if m.neq:
+    raise NotImplementedError("equality constraints not supported")
   if np.any(np.asarray(m.dof_frictionloss) != 0.0):
     raise NotImplementedError("dof frictionloss not supported")
 
@@ -784,28 +795,33 @@ def _has_contact_points(mdl: DeviceModel) -> bool:
   return mdl.contacts is not None and mdl.contacts.point_b1.shape[0] > 0
 
 
-def _contact_solve(mdl: DeviceModel, q, v, M, qfrc_smooth, ctx, warm=None):
-  """Unified limit+contact solve -> (qacc, qfrc_constraint).
+def _contact_solve(mdl: DeviceModel, q, v, M, qfrc_smooth, ctx,
+                   warm=None, first=None):
+  """Unified limit+contact solve -> (qacc, qfrc_constraint, efc_force).
 
   ``warm`` (a previous solve's qacc) mirrors MuJoCo's qacc_warmstart —
   mjData carries qacc_warmstart between every forward call, so each RK4
-  stage / frame-skip substep warm-starts from the last. Warm solves
-  converge in fewer Newton iterations (verified: 5/5 holds 1e-16 ant
-  rollout parity vs mj-with-warmstart; cold extreme states need 8/8).
+  stage / frame-skip substep warm-starts from the last. ``first`` (a
+  traced bool) selects the cold start (qacc_smooth) on the first
+  substep of a scanned frame-skip chain, so ONE traced body serves the
+  whole chain. Depth is always the model's full Newton budget.
   """
+  import jax.numpy as jnp
   from . import device_collision as dc
   qacc_sm = _solve_psd(M, qfrc_smooth)
   cd = mdl.contacts
   J, aref, D, mask = dc.assemble_rows(mdl, cd, q, v, ctx)
   if warm is None:
-    start, iters, ls = qacc_sm, cd.newton_iters, cd.newton_ls
+    start = qacc_sm
+  elif first is None:
+    start = warm
   else:
-    start, iters, ls = warm, 5, 5
+    start = jnp.where(first, qacc_sm, warm)
   qacc, f = dc.newton_qacc(
     _solve_psd, M, qacc_sm, J, aref, D, mask,
-    iters=iters, ls_iters=ls, start=start,
+    iters=cd.newton_iters, ls_iters=cd.newton_ls, start=start,
   )
-  return qacc, J.T @ f
+  return qacc, J.T @ f, f
 
 
 def _qacc_smooth(mdl: DeviceModel, q, v, tau):
@@ -833,11 +849,22 @@ def _limit_minv_cols(mdl: DeviceModel, M):
   return {d: _solve_psd(M, eye[d]) for d in dofs}
 
 
-def _qacc_full(mdl: DeviceModel, q, v, tau, warm=None):
-  """Forward dynamics incl. limit+contact constraints (mj_forward)."""
+def _qacc_full(mdl: DeviceModel, q, v, tau, warm=None, first=None,
+               want_fext=False):
+  """Forward dynamics incl. limit+contact constraints (mj_forward).
+
+  ``want_fext`` additionally returns the per-body external contact
+  wrench about the world origin (cfrc_ext precursor) -> (qacc, fext).
+  """
   M, qfrc_smooth, ctx = _qacc_smooth_parts(mdl, q, v, tau)
   if _has_contact_points(mdl):
-    qacc, _ = _contact_solve(mdl, q, v, M, qfrc_smooth, ctx, warm)
+    qacc, _, f = _contact_solve(mdl, q, v, M, qfrc_smooth, ctx, warm, first)
+    if want_fext:
+      from . import device_collision as dc
+      fext = dc.contact_wrenches(
+        mdl.contacts, mdl, q, v, ctx, f, mdl.nbody
+      )
+      return qacc, fext
     return qacc
   qacc_sm = _solve_psd(M, qfrc_smooth)
   if not any(mdl.jnt_limited):
@@ -885,7 +912,8 @@ def integrate_pos(mdl: DeviceModel, q, v, h):
   return out
 
 
-def step_smooth(mdl: DeviceModel, q, v, ctrl, nstep: int = 1):
+def step_smooth(mdl: DeviceModel, q, v, ctrl, nstep: int = 1,
+                want_aux: bool = False):
   """mj_step x nstep, smooth dynamics only, per the model's integrator.
 
   - Euler (``mj_Euler``): qacc solves (M + h*diag(damping)) qacc =
@@ -893,26 +921,45 @@ def step_smooth(mdl: DeviceModel, q, v, ctrl, nstep: int = 1):
     then qvel += h qacc; qpos += h qvel (semi-implicit).
   - RK4 (``mj_RungeKutta``): classic 4-stage tableau on (qpos, qvel)
     with plain forward dynamics per stage, damping explicit.
+
+  ``want_aux`` (contact models only) additionally returns
+  ``(q_fwd, v_fwd, fext)``: the state of the LAST forward evaluation in
+  the chain (RK4: stage 4 of the final substep; Euler: the final
+  substep's pre-integration state) plus the per-body contact wrench
+  about the world origin at that evaluation. This is exactly what
+  mjData's derived fields (xipos/cinert/cvel/contacts) hold after
+  ``mj_step`` — gymnasium reads those STALE values for Humanoid's
+  observation and mass-center reward, and this reproduces that quirk.
   """
+  import jax
   import jax.numpy as jnp
   from jax import lax
   dt = q.dtype
   h = jnp.asarray(mdl.timestep, dt)
   damping = jnp.asarray(mdl.dof_damping, dt)
   tau = actuator_force(mdl, ctrl)
+  contacts = _has_contact_points(mdl)
+  if want_aux and not contacts:
+    raise ValueError("want_aux requires a contact model")
 
-  def one_step(q, v, warm=None):
+  def one_step(q, v, warm=None, first=None):
     """One mj_step. ``warm``: previous solve's qacc (contact models) —
-    the qacc_warmstart chain mjData threads through every forward call.
-    Returns (q, v, last qacc)."""
+    the qacc_warmstart chain mjData threads through every forward call;
+    ``first`` (traced bool) selects the cold qacc_smooth start instead.
+    Returns (q, v, last qacc, aux)."""
+    aux = None
     if mdl.integrator == 1:  # RK4 (full dynamics per stage)
-      a1 = _qacc_full(mdl, q, v, tau, warm)
+      a1 = _qacc_full(mdl, q, v, tau, warm, first)
       q2, v2 = integrate_pos(mdl, q, v, 0.5 * h), v + 0.5 * h * a1
       a2 = _qacc_full(mdl, q2, v2, tau, a1)
       q3, v3 = integrate_pos(mdl, q, v2, 0.5 * h), v + 0.5 * h * a2
       a3 = _qacc_full(mdl, q3, v3, tau, a2)
       q4, v4 = integrate_pos(mdl, q, v3, h), v + h * a3
-      a4 = _qacc_full(mdl, q4, v4, tau, a3)
+      if want_aux:
+        a4, fext = _qacc_full(mdl, q4, v4, tau, a3, want_fext=True)
+        aux = (q4, v4, fext)
+      else:
+        a4 = _qacc_full(mdl, q4, v4, tau, a3)
       q = integrate_pos(mdl, q, (v + 2 * v2 + 2 * v3 + v4) / 6.0, h)
       v = v + (h / 6.0) * (a1 + 2 * a2 + 2 * a3 + a4)
       last = a4
@@ -920,10 +967,15 @@ def step_smooth(mdl: DeviceModel, q, v, ctrl, nstep: int = 1):
       M, qfrc_smooth, ctx = _qacc_smooth_parts(mdl, q, v, tau)
       qfrc = qfrc_smooth
       last = None
-      if _has_contact_points(mdl):
-        last, qfrc_con = _contact_solve(
-          mdl, q, v, M, qfrc_smooth, ctx, warm
+      if contacts:
+        last, qfrc_con, _f = _contact_solve(
+          mdl, q, v, M, qfrc_smooth, ctx, warm, first
         )
+        if want_aux:
+          from . import device_collision as dc
+          aux = (q, v, dc.contact_wrenches(
+            mdl.contacts, mdl, q, v, ctx, _f, mdl.nbody
+          ))
         qfrc = qfrc + qfrc_con
       elif any(mdl.jnt_limited):
         qacc_sm = _solve_psd(M, qfrc_smooth)
@@ -934,20 +986,28 @@ def step_smooth(mdl: DeviceModel, q, v, ctrl, nstep: int = 1):
       qacc = _solve_psd(A, qfrc)
       v = v + h * qacc
       q = integrate_pos(mdl, q, v, h)
-    return q, v, last
+    return q, v, last, aux
 
-  if nstep > 1 and _has_contact_points(mdl):
-    # contact models: substep 1 solves cold at full Newton depth, the
-    # remaining substeps scan a warm-started reduced-depth body (the
-    # constraint solve dominates the subgraph, and frame_skip reaches 5)
-    q, v, warm = one_step(q, v)
-    (q, v, _), _ = lax.scan(
-      lambda c, _: (one_step(*c), None), (q, v, warm), None,
-      length=nstep - 1,
-    )
+  if nstep > 1 and contacts:
+    # contact models scan ONE traced substep body for the whole chain:
+    # the first iteration cold-starts from qacc_smooth (selected by the
+    # carried ``first`` flag), later iterations warm-start from the
+    # previous solve — mjData.qacc_warmstart semantics with a single
+    # copy of the physics+solver subgraph in the program
+    def scan_body(c, _):
+      q, v, warm, first = c
+      q, v, warm, aux = one_step(q, v, warm, first)
+      return (q, v, warm, jnp.zeros_like(first)), aux
+    init = (q, v, jnp.zeros(mdl.nv, dt), jnp.ones((), bool))
+    (q, v, _, _), auxs = lax.scan(scan_body, init, None, length=nstep)
+    if want_aux:
+      aux = jax.tree_util.tree_map(lambda x: x[-1], auxs)
+      return q, v, aux
   else:
     for _ in range(nstep):
-      q, v, _ = one_step(q, v)
+      q, v, _, aux = one_step(q, v)
+    if want_aux:
+      return q, v, aux
   return q, v
 
 
@@ -964,3 +1024,43 @@ def site_xpos(mdl: DeviceModel, q, name: str):
   s = mdl.site_name2id[name]
   b = mdl.site_body[s]
   return xpos[b] + xmat[b] @ jnp.asarray(mdl.site_pos[s], q.dtype)
+
+
+def com_quantities(mdl: DeviceModel, q, v, ctx=None):
+  """mjData's com-based quantities at (q, v): (com0, xipos, cinert, cvel).
+
+  Conventions decoded from mjData (verified element-exact in
+  tests/test_device_humanoid.py):
+  - ``com0`` = subtree_com[0]: mass-weighted mean of body CoMs;
+  - ``cinert[b]`` [10] = upper-tri inertia about com0 in world axes via
+    the parallel-axis theorem (Ixx,Iyy,Izz,Ixy,Ixz,Iyz), then
+    m*(xipos-com0), then m;
+  - ``cvel[b]`` [6] = [omega; v_origin + omega x com0] — the world-origin
+    Plucker velocity translated to com0.
+  """
+  import jax.numpy as jnp
+  dt = q.dtype
+  if ctx is None:
+    ctx = _kin_ctx(mdl, q)
+  xpos, xmat, S, _ = ctx
+  xipos = jnp.stack([
+    xpos[b] + xmat[b] @ jnp.asarray(mdl.body_ipos[b], dt)
+    for b in range(mdl.nbody)
+  ])
+  mass = jnp.asarray(mdl.body_mass, dt)
+  com0 = (mass[:, None] * xipos).sum(0) / mass.sum()
+  vel = body_velocities(mdl, v, S)
+  cin, cv = [], []
+  for b in range(mdl.nbody):
+    mb = float(mdl.body_mass[b])
+    ic = xmat[b] @ jnp.asarray(mdl.body_inertia_w[b], dt) @ xmat[b].T
+    d = xipos[b] - com0
+    ioff = ic + mb * ((d @ d) * jnp.eye(3, dtype=dt) - jnp.outer(d, d))
+    cin.append(jnp.concatenate([
+      jnp.stack([ioff[0, 0], ioff[1, 1], ioff[2, 2],
+                 ioff[0, 1], ioff[0, 2], ioff[1, 2]]),
+      mb * d, jnp.asarray(mb, dt)[None],
+    ]))
+    w, v0 = vel[b][:3], vel[b][3:]
+    cv.append(jnp.concatenate([w, v0 + jnp.cross(w, com0)]))
+  return com0, xipos, jnp.stack(cin), jnp.stack(cv)

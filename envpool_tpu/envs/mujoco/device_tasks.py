@@ -12,9 +12,11 @@ with no per-step host traffic.
 Registered ids: ``ReacherJax-v4``, ``InvertedPendulumJax-v4``,
 ``InvertedDoublePendulumJax-v4``, ``SwimmerJax-v4`` (contact-free), plus
 the contact-rich locomotion tasks ``HalfCheetahJax-v4``,
-``HopperJax-v4``, ``Walker2dJax-v4`` and ``AntJax-v4`` (free quaternion
-root) — these run MuJoCo's full contact pipeline (plane/sphere/capsule
-collision, pyramidal friction, Newton solve) on device via
+``HopperJax-v4``, ``Walker2dJax-v4``, ``AntJax-v4`` (free quaternion
+root), ``HumanoidJax-v4`` and ``HumanoidStandupJax-v4`` (23 dofs,
+all-pairs collision, the 376-dim com-frame observation) — these run
+MuJoCo's full contact pipeline (plane/sphere/capsule collision,
+pyramidal friction, Newton solve) on device via
 ``device_collision.py``. Swimmer exercises the engine's fluid
 model (density/viscosity medium forces) and RK4 integration
 (``envpool/mujoco/gym/swimmer.h`` semantics).
@@ -687,4 +689,214 @@ class AntJaxEnv(DeviceMujocoEnv):
       "x_position": q1[0], "y_position": q1[1],
       "distance_from_origin": jnp.sqrt(q1[0] ** 2 + q1[1] ** 2),
       "x_velocity": xv, "y_velocity": yv,
+    }
+
+
+class HumanoidJaxEnv(DeviceMujocoEnv):
+  """Humanoid-v4 on-device (``envpool/mujoco/gym/humanoid.h``).
+
+  The heaviest device task: 23 dofs, 140 candidate contact points
+  (all-pairs filtering: frictionless body-body + pyramidal plane
+  contacts), and the full 376-dim v4 observation — cinert/cvel are the
+  com-frame quantities of ``de.com_quantities`` and cfrc_ext comes from
+  the constraint solver's contact forces. Matching gymnasium exactly,
+  the derived observation parts and the mass-center reward use the
+  LAST FORWARD state (RK4 stage 4 of the final substep) that mjData
+  retains after ``mj_step`` — not the integrated qpos (see
+  ``step_smooth(want_aux=True)``); qpos/qvel in the observation are the
+  fresh post-step values, as in gym.
+  """
+
+  name = "HumanoidJax"
+  xml_file = "humanoid.xml"
+  frame_skip = 5
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {
+      "forward_reward_weight": 1.25,
+      "terminate_when_unhealthy": True,
+      "ctrl_cost_weight": 0.1,
+      "healthy_reward": 5.0,
+      "healthy_z_min": 1.0, "healthy_z_max": 2.0,
+      "reset_noise_scale": 1e-2,
+    }
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {
+      "obs": ArraySpec(np.float32, (376,), -_INF, _INF),
+      "info:reward_linvel": ArraySpec(np.float32, (-1,)),
+      "info:reward_quadctrl": ArraySpec(np.float32, (-1,)),
+      "info:reward_alive": ArraySpec(np.float32, (-1,)),
+      "info:x_position": ArraySpec(np.float32, (-1,)),
+      "info:y_position": ArraySpec(np.float32, (-1,)),
+      "info:distance_from_origin": ArraySpec(np.float32, (-1,)),
+      "info:x_velocity": ArraySpec(np.float32, (-1,)),
+      "info:y_velocity": ArraySpec(np.float32, (-1,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float32, (-1, 17), -0.4, 0.4)}
+
+  @classmethod
+  def _mass_center(cls, xipos):
+    mdl = cls.mdl()
+    mass = jnp.asarray(mdl.body_mass, xipos.dtype)
+    return (mass[:, None] * xipos).sum(0)[:2] / mass.sum()
+
+  @classmethod
+  def _derived(cls, qf, vf, fext):
+    """(mc, cinert, cvel, cfrc_ext) at the last-forward state."""
+    mdl = cls.mdl()
+    com0, xipos, cinert, cvel = de.com_quantities(mdl, qf, vf)
+    F = fext[:, 3:]
+    trq = fext[:, :3] - jnp.cross(com0[None, :], F)
+    cfrc = jnp.concatenate([trq, F], axis=1)
+    return cls._mass_center(xipos), cinert, cvel, cfrc
+
+  @classmethod
+  def _obs_of(cls, q, v, cinert, cvel, qfrc_act, cfrc):
+    return jnp.concatenate([
+      q[2:], v, cinert.ravel(), cvel.ravel(), qfrc_act, cfrc.ravel()
+    ])
+
+  @classmethod
+  def reset(cls, cfg: Any, state: Any, key: jax.Array):
+    mdl = cls.mdl()
+    kq, kv = jax.random.split(key)
+    s = float(cfg.reset_noise_scale)
+    q = jnp.asarray(mdl.init_qpos, jnp.float32) + jax.random.uniform(
+      kq, (mdl.nq,), jnp.float32, -s, s
+    )
+    v = jax.random.uniform(kv, (mdl.nv,), jnp.float32, -s, s)
+    # at reset mjData's derived fields are FRESH (set_state forwards) and
+    # cfrc_ext / qfrc_actuator are zero
+    com0, xipos, cinert, cvel = de.com_quantities(mdl, q, v)
+    mc = cls._mass_center(xipos)
+    zeros_frc = jnp.zeros((mdl.nbody, 6), jnp.float32)
+    obs = cls._obs_of(
+      q, v, cinert, cvel, jnp.zeros(mdl.nv, jnp.float32), zeros_frc
+    )
+    state = {"q": q, "v": v, "mc": mc}
+    zero = jnp.float32(0.0)
+    return state, obs, {
+      "reward_linvel": zero, "reward_quadctrl": zero, "reward_alive": zero,
+      "x_position": mc[0], "y_position": mc[1],
+      "distance_from_origin": jnp.sqrt(mc[0] ** 2 + mc[1] ** 2),
+      "x_velocity": zero, "y_velocity": zero,
+    }
+
+  @classmethod
+  def step(cls, cfg: Any, state: Any, action: Any, key: jax.Array):
+    del key
+    mdl = cls.mdl()
+    action = jnp.asarray(action, jnp.float32)
+    q1, v1, (qf, vf, fext) = de.step_smooth(
+      mdl, state["q"], state["v"], action, nstep=cls.frame_skip,
+      want_aux=True,
+    )
+    mc, cinert, cvel, cfrc = cls._derived(qf, vf, fext)
+    dt = cls.frame_skip * mdl.timestep
+    xv = (mc[0] - state["mc"][0]) / dt
+    yv = (mc[1] - state["mc"][1]) / dt
+    state = {"q": q1, "v": v1, "mc": mc}
+    qfrc_act = de.actuator_force(mdl, action)
+    obs = cls._obs_of(q1, v1, cinert, cvel, qfrc_act, cfrc)
+    reward_linvel = float(cfg.forward_reward_weight) * xv
+    ctrl_cost = float(cfg.ctrl_cost_weight) * jnp.sum(jnp.square(action))
+    healthy = (q1[2] > float(cfg.healthy_z_min)) & (
+      q1[2] < float(cfg.healthy_z_max)
+    )
+    if bool(cfg.terminate_when_unhealthy):
+      survive = jnp.float32(float(cfg.healthy_reward))
+      term = ~healthy
+    else:
+      survive = jnp.where(healthy, float(cfg.healthy_reward), 0.0)
+      term = jnp.bool_(False)
+    reward = reward_linvel + survive - ctrl_cost
+    return state, obs, reward, term, {
+      "reward_linvel": reward_linvel, "reward_quadctrl": -ctrl_cost,
+      "reward_alive": survive,
+      "x_position": mc[0], "y_position": mc[1],
+      "distance_from_origin": jnp.sqrt(mc[0] ** 2 + mc[1] ** 2),
+      "x_velocity": xv, "y_velocity": yv,
+    }
+
+
+class HumanoidStandupJaxEnv(HumanoidJaxEnv):
+  """HumanoidStandup-v4 on-device
+  (``envpool/mujoco/gym/humanoid_standup.h``)."""
+
+  name = "HumanoidStandupJax"
+  xml_file = "humanoidstandup.xml"
+  frame_skip = 5
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {
+      "forward_reward_weight": 1.0,
+      "ctrl_cost_weight": 0.1,
+      "contact_cost_weight": 5e-7, "contact_cost_max": 10.0,
+      "healthy_reward": 1.0,
+      "reset_noise_scale": 1e-2,
+    }
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {
+      "obs": ArraySpec(np.float32, (376,), -_INF, _INF),
+      "info:reward_linup": ArraySpec(np.float32, (-1,)),
+      "info:reward_quadctrl": ArraySpec(np.float32, (-1,)),
+      "info:reward_impact": ArraySpec(np.float32, (-1,)),
+      "info:reward_alive": ArraySpec(np.float32, (-1,)),
+    }
+
+  @classmethod
+  def reset(cls, cfg: Any, state: Any, key: jax.Array):
+    mdl = cls.mdl()
+    kq, kv = jax.random.split(key)
+    s = float(cfg.reset_noise_scale)
+    q = jnp.asarray(mdl.init_qpos, jnp.float32) + jax.random.uniform(
+      kq, (mdl.nq,), jnp.float32, -s, s
+    )
+    v = jax.random.uniform(kv, (mdl.nv,), jnp.float32, -s, s)
+    com0, xipos, cinert, cvel = de.com_quantities(mdl, q, v)
+    obs = cls._obs_of(
+      q, v, cinert, cvel, jnp.zeros(mdl.nv, jnp.float32),
+      jnp.zeros((mdl.nbody, 6), jnp.float32),
+    )
+    state = {"q": q, "v": v, "mc": cls._mass_center(xipos)}
+    zero = jnp.float32(0.0)
+    return state, obs, {
+      "reward_linup": zero, "reward_quadctrl": zero,
+      "reward_impact": zero, "reward_alive": zero,
+    }
+
+  @classmethod
+  def step(cls, cfg: Any, state: Any, action: Any, key: jax.Array):
+    del key
+    mdl = cls.mdl()
+    action = jnp.asarray(action, jnp.float32)
+    q1, v1, (qf, vf, fext) = de.step_smooth(
+      mdl, state["q"], state["v"], action, nstep=cls.frame_skip,
+      want_aux=True,
+    )
+    mc, cinert, cvel, cfrc = cls._derived(qf, vf, fext)
+    state = {"q": q1, "v": v1, "mc": mc}
+    qfrc_act = de.actuator_force(mdl, action)
+    obs = cls._obs_of(q1, v1, cinert, cvel, qfrc_act, cfrc)
+    uph = q1[2] / jnp.float32(mdl.timestep)
+    reward_linup = float(cfg.forward_reward_weight) * uph
+    ctrl_cost = float(cfg.ctrl_cost_weight) * jnp.sum(jnp.square(action))
+    impact = jnp.minimum(
+      float(cfg.contact_cost_weight) * jnp.sum(jnp.square(cfrc)),
+      float(cfg.contact_cost_max),
+    )
+    survive = jnp.float32(float(cfg.healthy_reward))
+    reward = reward_linup + survive - ctrl_cost - impact
+    return state, obs, reward, jnp.bool_(False), {
+      "reward_linup": reward_linup, "reward_quadctrl": -ctrl_cost,
+      "reward_impact": -impact, "reward_alive": survive,
     }

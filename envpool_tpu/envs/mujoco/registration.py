@@ -96,6 +96,8 @@ for task, max_episode_steps in [
   ("Hopper", 1000),
   ("Walker2d", 1000),
   ("Ant", 1000),
+  ("Humanoid", 1000),
+  ("HumanoidStandup", 1000),
 ]:
   register(
     task_id=f"{task}Jax-v4",

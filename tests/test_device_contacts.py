@@ -129,7 +129,7 @@ def test_qacc_and_constraint_force_match(xml) -> None:
       qj, vj = jnp.asarray(q), jnp.asarray(v)
       tau = de.actuator_force(mdl, jnp.asarray(ctrl))
       M, qfs, ctx = de._qacc_smooth_parts(mdl, qj, vj, tau)
-      qacc, qfrc_con = de._contact_solve(mdl, qj, vj, M, qfs, ctx)
+      qacc, qfrc_con, _ = de._contact_solve(mdl, qj, vj, M, qfs, ctx)
       qe = np.abs(np.asarray(qacc) - d.qacc).max()
       fe = np.abs(np.asarray(qfrc_con) - d.qfrc_constraint).max()
       assert qe < 1e-4 * max(1.0, np.abs(d.qacc).max())

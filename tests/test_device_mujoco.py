@@ -233,11 +233,12 @@ def test_device_mujoco_through_pool_deterministic() -> None:
 
 
 def test_unsupported_models_raise() -> None:
-  """Ball-joint models are rejected with a clear error (ant's free
-  joint and contacts are now in scope — see test_device_contacts.py)."""
+  """Out-of-scope geoms (pusher's cylinder) are rejected with a clear
+  error; ant/humanoid (free joints, contacts, inert tendons) extract."""
   with pytest.raises(NotImplementedError):
-    de.extract_model(_asset("humanoid.xml"))
+    de.extract_model(_asset("pusher.xml"))
   assert de.extract_model(_asset("ant.xml")).contacts is not None
+  assert de.extract_model(_asset("humanoid.xml")).contacts is not None
 
 
 def test_fluid_force_matches_qfrc_passive() -> None:
