@@ -6,6 +6,10 @@ flax modules designed for the MXU: bfloat16 activations, channel counts in
 multiples of 128, NHWC conv layout.
 """
 
-from .nets import AtariCNN, MLPActorCritic, SokobanCNN
+from .nets import (
+  AtariCNN, GaussianMLPActorCritic, MLPActorCritic, SokobanCNN,
+)
 
-__all__ = ["SokobanCNN", "AtariCNN", "MLPActorCritic"]
+__all__ = [
+  "SokobanCNN", "AtariCNN", "MLPActorCritic", "GaussianMLPActorCritic",
+]

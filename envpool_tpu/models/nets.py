@@ -83,3 +83,28 @@ class MLPActorCritic(nn.Module):
     logits = nn.Dense(self.num_actions, dtype=jnp.float32)(x)
     value = nn.Dense(1, dtype=jnp.float32)(x)[..., 0]
     return logits, value
+
+
+class GaussianMLPActorCritic(nn.Module):
+  """MLP actor-critic with a diagonal-Gaussian policy head (continuous
+  control: the on-device MuJoCo tier). Returns ((mean, log_std), value);
+  log_std is a state-independent learnable vector (cleanrl convention).
+  """
+
+  action_dim: int
+  hidden: Sequence[int] = (256, 256)
+  dtype: jnp.dtype = jnp.bfloat16
+
+  @nn.compact
+  def __call__(
+    self, obs: jax.Array
+  ) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array]:
+    x = obs.astype(self.dtype)
+    for h in self.hidden:
+      x = nn.tanh(nn.Dense(h, dtype=self.dtype)(x))
+    mean = nn.Dense(self.action_dim, dtype=jnp.float32)(x)
+    log_std = self.param(
+      "log_std", nn.initializers.zeros, (self.action_dim,), jnp.float32
+    )
+    value = nn.Dense(1, dtype=jnp.float32)(x)[..., 0]
+    return (mean, jnp.broadcast_to(log_std, mean.shape)), value

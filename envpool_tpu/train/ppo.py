@@ -21,9 +21,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from envpool_tpu.core.pool import TpuEnvPool, XlaHandle
 
 
+def _gauss_logp(x, mean, log_std):
+  """Diagonal-Gaussian log-density, summed over the action dim."""
+  z = (x - mean) * jnp.exp(-log_std)
+  return jnp.sum(
+    -0.5 * jnp.square(z) - log_std - 0.5 * jnp.log(2 * jnp.pi), axis=-1
+  )
+
+
 @dataclasses.dataclass(frozen=True)
 class PPOConfig:
   num_steps: int = 32          # rollout length T
+  continuous: bool = False     # diagonal-Gaussian policy (net returns
+                               # ((mean, log_std), value)); actions f32
   gamma: float = 0.99
   gae_lambda: float = 0.95
   clip_eps: float = 0.2
@@ -114,18 +124,30 @@ def make_ppo_train_step(
     def constrain_replicated(tree):
       return tree
 
+  def _sample(params, obs, key):
+    """-> (action, logp) under the configured policy family."""
+    out, value = net.apply(params, obs)
+    if cfg.continuous:
+      mean, log_std = out
+      std = jnp.exp(log_std)
+      action = mean + std * jax.random.normal(key, mean.shape)
+      logp = _gauss_logp(action, mean, log_std)
+    else:
+      action = jax.random.categorical(key, out)
+      logp = jax.nn.log_softmax(out)[jnp.arange(out.shape[0]), action]
+    return action, logp, value
+
   def rollout(handle: XlaHandle, params: Any, key: jax.Array):
     def body(carry, _):
       handle, key = carry
       _, states = recv(handle)
       obs = constrain_batch(states[obs_idx])
-      logits, value = net.apply(params, obs)
       key, sub = jax.random.split(key)
-      action = jax.random.categorical(sub, logits)
-      logp = jax.nn.log_softmax(logits)[
-        jnp.arange(logits.shape[0]), action
-      ]
-      handle = send(handle, action.astype(jnp.int32))
+      action, logp, value = _sample(params, obs, sub)
+      handle = send(
+        handle,
+        action.astype(jnp.float32 if cfg.continuous else jnp.int32),
+      )
       _, nxt = recv(handle)
       transition = {
         "obs": obs,
@@ -165,9 +187,17 @@ def make_ppo_train_step(
     return adv, returns
 
   def loss_fn(params, batch):
-    logits, value = net.apply(params, batch["obs"])
-    logp_all = jax.nn.log_softmax(logits)
-    logp = logp_all[jnp.arange(logits.shape[0]), batch["action"]]
+    out, value = net.apply(params, batch["obs"])
+    if cfg.continuous:
+      mean, log_std = out
+      logp = _gauss_logp(batch["action"], mean, log_std)
+      entropy = jnp.sum(
+        log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e), axis=-1
+      ).mean()
+    else:
+      logp_all = jax.nn.log_softmax(out)
+      logp = logp_all[jnp.arange(out.shape[0]), batch["action"]]
+      entropy = -(jnp.exp(logp_all) * logp_all).sum(-1).mean()
     ratio = jnp.exp(logp - batch["logp"])
     adv = batch["adv"]
     adv = (adv - adv.mean()) / (adv.std() + 1e-8)
@@ -175,7 +205,6 @@ def make_ppo_train_step(
     pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
     pg_loss = -jnp.minimum(pg1, pg2).mean()
     v_loss = 0.5 * jnp.square(value - batch["returns"]).mean()
-    entropy = -(jnp.exp(logp_all) * logp_all).sum(-1).mean()
     total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
     return total, {
       "pg_loss": pg_loss, "v_loss": v_loss, "entropy": entropy
@@ -188,12 +217,14 @@ def make_ppo_train_step(
     adv, returns = compute_gae(traj, last_value)
     flat = {
       "obs": traj["obs"].reshape(-1, *traj["obs"].shape[2:]),
-      "action": traj["action"].reshape(-1),
+      "action": traj["action"].reshape(
+        -1, *traj["action"].shape[2:]
+      ) if cfg.continuous else traj["action"].reshape(-1),
       "logp": traj["logp"].reshape(-1),
       "adv": adv.reshape(-1),
       "returns": returns.reshape(-1),
     }
-    n = flat["action"].shape[0]
+    n = flat["logp"].shape[0]
     mb = n // cfg.num_minibatches
     params, opt_state = state.params, state.opt_state
 
