@@ -12,6 +12,7 @@ from .device_tasks import (
   HopperJaxEnv,
   InvertedDoublePendulumJaxEnv,
   InvertedPendulumJaxEnv,
+  PusherJaxEnv,
   ReacherJaxEnv,
   SwimmerJaxEnv,
   Walker2dJaxEnv,
@@ -54,7 +55,7 @@ for _env_cls in (
 for _env_cls in (
   ReacherJaxEnv, InvertedPendulumJaxEnv, InvertedDoublePendulumJaxEnv,
   SwimmerJaxEnv, HalfCheetahJaxEnv, HopperJaxEnv, Walker2dJaxEnv,
-  AntJaxEnv, HumanoidJaxEnv, HumanoidStandupJaxEnv,
+  AntJaxEnv, HumanoidJaxEnv, HumanoidStandupJaxEnv, PusherJaxEnv,
 ):
   _spec, _dm, _gym, _gymnasium = py_env(_env_cls)
   _name = _env_cls.name

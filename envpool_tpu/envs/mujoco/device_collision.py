@@ -31,10 +31,29 @@ asserted row-for-row in ``tests/test_device_contacts.py``:
 - pyramidal facet rows ``J_n ± mu1 J_t1, J_n ± mu2 J_t2`` (unnormalized),
   one shared penetration ``pos`` per contact.
 
-Scope: plane/sphere/capsule geoms, pyramidal friction cones, condim 1/3 —
-the full contact model of the planar gym locomotion tasks (HalfCheetah,
-Hopper, Walker2d). Elliptic cones, condim 4/6 and mesh geoms are rejected
+Scope: plane/sphere/capsule/cylinder geoms, pyramidal friction cones,
+condim 1/3 — the full contact model of the gym tasks incl. Pusher's
+cylinder object. Elliptic cones, condim 4/6 and mesh geoms are rejected
 at extraction.
+
+Cylinder narrow phase (the geom the reference's Pusher task needs,
+``envpool/mujoco/gym/pusher.h``):
+- plane-cylinder reproduces MuJoCo's analytic ``mjc_PlaneCylinder``
+  regimes, reverse-engineered against mj 3.10 and verified by bisection
+  over tilt/penetration: always the deepest rim point; two extra rim
+  points at +-120 deg when tilt < 45 deg AND their own depth is within
+  margin (face resting); the far line endpoint when ITS depth is within
+  margin (side resting). Exactly-flat fallback direction = the
+  cylinder's local x axis (matches mj).
+- capsule/sphere-cylinder is a single analytic closest-point contact
+  (golden-section over the capsule segment vs the solid cylinder, exact
+  to ~1e-10 at realistic penetrations). MuJoCo >= 3 runs these pairs
+  through its iterative native-CCD (GJK/EPA) which can emit multi-point
+  manifolds; MuJoCo 2.x (the generation the reference envpool and gym's
+  Pusher-v4 pin — gym refuses Pusher-v4 on mujoco>=3) used libccd MPR:
+  one contact per pair, which is the behavior reproduced here. Parity
+  vs mj 3.10's single-contact cases is ~1e-8; the deviation contract is
+  documented in ``tests/test_device_pusher.py``.
 """
 
 from __future__ import annotations
@@ -44,7 +63,7 @@ from typing import NamedTuple, Tuple
 import numpy as np
 
 # mjtGeom enum values (mujoco/mjmodel.h)
-_GEOM_PLANE, _GEOM_SPHERE, _GEOM_CAPSULE = 0, 2, 3
+_GEOM_PLANE, _GEOM_SPHERE, _GEOM_CAPSULE, _GEOM_CYLINDER = 0, 2, 3, 5
 
 
 class ContactData(NamedTuple):
@@ -63,8 +82,16 @@ class ContactData(NamedTuple):
   # capsule-capsule (incl. sphere) pairs: one candidate point each
   cc_g1: Tuple[int, ...]       # [n_cc]
   cc_g2: Tuple[int, ...]       # [n_cc]
+  # plane-cylinder pairs: FOUR candidate points each (deepest rim,
+  # +-120deg face rims gated on tilt<45deg, far side-line endpoint)
+  pcy_plane: Tuple[int, ...]   # [n_pcy]
+  pcy_cyl: Tuple[int, ...]     # [n_pcy]
+  # capsule/sphere-cylinder pairs (capsule first, mj type order): one
+  # analytic closest-point candidate each
+  cyc_cap: Tuple[int, ...]     # [n_cyc]
+  cyc_cyl: Tuple[int, ...]     # [n_cyc]
   # per candidate-point constants, aligned with the concatenation
-  # [pc endpoints (1 or 2 per pair), then cc points]
+  # [pc endpoints (1 or 2 per pair), cc points, pcy (4 per pair), cyc]
   point_b1: np.ndarray         # [P] int body of geom1
   point_b2: np.ndarray         # [P] int body of geom2
   point_sgn: np.ndarray        # [P, nv] +-1/0: dof influence on b2 - b1
@@ -150,15 +177,20 @@ def extract_contacts(m) -> ContactData:
         continue
       k1, k2 = int(m.geom_type[g1]), int(m.geom_type[g2])
       for k in (k1, k2):
-        if k not in (_GEOM_PLANE, _GEOM_SPHERE, _GEOM_CAPSULE):
+        if k not in (
+          _GEOM_PLANE, _GEOM_SPHERE, _GEOM_CAPSULE, _GEOM_CYLINDER
+        ):
           raise NotImplementedError(
             f"geom type {k} unsupported by the device contact engine"
           )
       if k1 == _GEOM_PLANE and k2 == _GEOM_PLANE:
         continue
-      # order: plane first (contact normal then points geom1 -> geom2,
-      # matching MuJoCo's type-sorted collision table)
-      if k2 == _GEOM_PLANE:
+      if k1 == _GEOM_CYLINDER and k2 == _GEOM_CYLINDER:
+        raise NotImplementedError("cylinder-cylinder contacts unsupported")
+      # order by geom type (mj_collideGeoms' type-sorted collision
+      # table: plane first, sphere/capsule before cylinder; contact
+      # normal then points geom1 -> geom2)
+      if k1 > k2:
         g1, g2, k1, k2 = g2, g1, k2, k1
       pairs.append((g1, g2, k1, k2))
 
@@ -200,6 +232,8 @@ def extract_contacts(m) -> ContactData:
 
   pc_plane, pc_cap, pc_two = [], [], []
   cc_g1, cc_g2 = [], []
+  pcy_plane, pcy_cyl = [], []
+  cyc_cap, cyc_cyl = [], []
   pt = {k: [] for k in (
     "b1", "b2", "K", "B", "solimp", "inc", "diagA", "mu", "condim"
   )}
@@ -229,12 +263,20 @@ def extract_contacts(m) -> ContactData:
       pt["condim"].append(condim)
 
   for g1, g2, k1, k2 in pairs:
-    if k1 == _GEOM_PLANE:
+    if k1 == _GEOM_PLANE and k2 == _GEOM_CYLINDER:
+      pcy_plane.append(g1)
+      pcy_cyl.append(g2)
+      _add_points(g1, g2, 4)
+    elif k1 == _GEOM_PLANE:
       two = k2 == _GEOM_CAPSULE
       pc_plane.append(g1)
       pc_cap.append(g2)
       pc_two.append(two)
       _add_points(g1, g2, 2 if two else 1)
+    elif k2 == _GEOM_CYLINDER:  # sphere/capsule (type-sorted first) vs cyl
+      cyc_cap.append(g1)
+      cyc_cyl.append(g2)
+      _add_points(g1, g2, 1)
     else:  # sphere/capsule vs sphere/capsule: one candidate point
       cc_g1.append(g1)
       cc_g2.append(g2)
@@ -284,6 +326,10 @@ def extract_contacts(m) -> ContactData:
     pc_two=tuple(pc_two),
     cc_g1=tuple(cc_g1),
     cc_g2=tuple(cc_g2),
+    pcy_plane=tuple(pcy_plane),
+    pcy_cyl=tuple(pcy_cyl),
+    cyc_cap=tuple(cyc_cap),
+    cyc_cyl=tuple(cyc_cyl),
     point_b1=np.asarray(pt["b1"], np.int64),
     point_b2=np.asarray(pt["b2"], np.int64),
     point_sgn=sgn,
@@ -349,7 +395,10 @@ def _make_frame_tangents(n):
 def contact_points(cd: ContactData, xpos, xmat, dtype):
   """Narrow phase over all candidates.
 
-  Returns (pos [P,3], dist [P], n [P,3], t1 [P,3], t2 [P,3]).
+  Returns (pos [P,3], dist [P], n [P,3], t1 [P,3], t2 [P,3], gate [P]);
+  ``gate`` is an extra activation condition beyond the margin test
+  (True everywhere except the plane-cylinder face-rim candidates, which
+  MuJoCo only emits below 45 deg tilt).
 
   Plane-capsule: one candidate per endpoint sphere (MuJoCo's
   ``mjc_PlaneCapsule``): dist = n.(e - p0) - r, pos = e - n (r + dist/2);
@@ -362,7 +411,8 @@ def contact_points(cd: ContactData, xpos, xmat, dtype):
   mjContact.frame.
   """
   import jax.numpy as jnp
-  pos_l, dist_l, n_l, t1_l, t2_l = [], [], [], [], []
+  pos_l, dist_l, n_l, t1_l, t2_l, gate_l = [], [], [], [], [], []
+  _true = jnp.asarray(True)
 
   for i, (gp, gc) in enumerate(zip(cd.pc_plane, cd.pc_cap)):
     ppos, prot = _geom_pose(cd, xpos, xmat, gp, dtype)
@@ -389,6 +439,7 @@ def contact_points(cd: ContactData, xpos, xmat, dtype):
       n_l.append(n)
       t1_l.append(t1)
       t2_l.append(t2)
+      gate_l.append(_true)
 
   for g1, g2 in zip(cd.cc_g1, cd.cc_g2):
     p1, r1m = _geom_pose(cd, xpos, xmat, g1, dtype)
@@ -422,13 +473,157 @@ def contact_points(cd: ContactData, xpos, xmat, dtype):
     t1, t2 = _make_frame_tangents(n)
     t1_l.append(t1)
     t2_l.append(t2)
+    gate_l.append(_true)
+
+  # ---- plane-cylinder: 4 candidates per pair (mjc_PlaneCylinder regimes)
+  c120, s120 = -0.5, float(np.sqrt(3.0) / 2.0)
+  for gp, gc in zip(cd.pcy_plane, cd.pcy_cyl):
+    ppos, prot = _geom_pose(cd, xpos, xmat, gp, dtype)
+    n = prot[:, 2]
+    cpos, crot = _geom_pose(cd, xpos, xmat, gc, dtype)
+    r = float(cd.geom_size[gc, 0])
+    h = float(cd.geom_size[gc, 1])
+    ax = crot[:, 2]
+    prj = ax @ n
+    flip = jnp.where(prj > 0, -1.0, 1.0).astype(dtype)
+    axf = flip * ax            # axis pointing toward the plane
+    prjf = flip * prj          # <= 0
+    raw = prjf * axf - n       # unnormalized max-descent radial dir
+    slen = jnp.sqrt(jnp.maximum(1.0 - prjf * prjf, 0.0))
+    # exactly-flat fallback: cylinder local x projected onto the plane
+    cx = crot[:, 0]
+    fb = cx - (cx @ n) * n
+    fb = fb / jnp.sqrt(fb @ fb + 1e-30)
+    d_r = jnp.where(slen > 1e-10, raw / jnp.maximum(slen, 1e-30), fb)
+    t_perp = jnp.cross(axf, d_r)
+    e_lo = cpos + h * axf
+    face_gate = slen < -prjf   # tilt below 45 deg
+    cands = (
+      (e_lo + r * d_r, _true),
+      (e_lo + r * (c120 * d_r + s120 * t_perp), face_gate),
+      (e_lo + r * (c120 * d_r - s120 * t_perp), face_gate),
+      (cpos - h * axf + r * d_r, _true),
+    )
+    t1, t2 = _make_frame_tangents(n)
+    for e, gate in cands:
+      dist = n @ (e - ppos)
+      pos_l.append(e - n * (0.5 * dist))
+      dist_l.append(dist)
+      n_l.append(n)
+      t1_l.append(t1)
+      t2_l.append(t2)
+      gate_l.append(gate)
+
+  # ---- capsule/sphere-cylinder: one analytic closest-point candidate
+  if cd.cyc_cap:
+    cy = _capsule_cylinder_points(cd, xpos, xmat, dtype)
+    for i in range(len(cd.cyc_cap)):
+      pos_l.append(cy[0][i])
+      dist_l.append(cy[1][i])
+      n_l.append(cy[2][i])
+      t1, t2 = _make_frame_tangents(cy[2][i])
+      t1_l.append(t1)
+      t2_l.append(t2)
+      gate_l.append(_true)
 
   if not pos_l:
     z = jnp.zeros((0,), dtype)
     z3 = jnp.zeros((0, 3), dtype)
-    return z3, z, z3, z3, z3
+    return z3, z, z3, z3, z3, jnp.zeros((0,), bool)
   return (jnp.stack(pos_l), jnp.stack(dist_l), jnp.stack(n_l),
-          jnp.stack(t1_l), jnp.stack(t2_l))
+          jnp.stack(t1_l), jnp.stack(t2_l), jnp.stack(gate_l))
+
+
+def _capsule_cylinder_points(cd: ContactData, xpos, xmat, dtype):
+  """Closest-point contact for every capsule/sphere-cylinder pair.
+
+  Signed distance from a point to the solid cylinder is exact; the
+  minimizing capsule-axis parameter is found by golden-section (the
+  signed distance of a convex set along an affine path is convex), 48
+  ``fori_loop`` iterations -> interval ~1e-10 of the segment length.
+  Returns (pos [n,3], dist [n], n_cap2cyl [n,3]) with MuJoCo's
+  conventions: normal geom1(capsule) -> geom2(cylinder), contact point
+  midway between the two surfaces.
+  """
+  import jax.numpy as jnp
+  from jax import lax
+
+  p1s, a1s, p2s, a2s = [], [], [], []
+  for gcap, gcyl in zip(cd.cyc_cap, cd.cyc_cyl):
+    pp, rr = _geom_pose(cd, xpos, xmat, gcap, dtype)
+    p1s.append(pp)
+    a1s.append(rr[:, 2])
+    pp2, rr2 = _geom_pose(cd, xpos, xmat, gcyl, dtype)
+    p2s.append(pp2)
+    a2s.append(rr2[:, 2])
+  p1 = jnp.stack(p1s)
+  a1 = jnp.stack(a1s)
+  p2 = jnp.stack(p2s)
+  a2 = jnp.stack(a2s)
+  caps = np.asarray(cd.cyc_cap)
+  cyls = np.asarray(cd.cyc_cyl)
+  rcap = jnp.asarray(cd.geom_size[caps, 0], dtype)
+  hl = jnp.asarray(cd.geom_size[caps, 1], dtype)   # 0 for spheres
+  R = jnp.asarray(cd.geom_size[cyls, 0], dtype)
+  H = jnp.asarray(cd.geom_size[cyls, 1], dtype)
+
+  def sdist(s):
+    """Signed distance of capsule-axis point C(s) to the solid cylinder."""
+    c = p1 + s[:, None] * a1
+    w = c - p2
+    z = jnp.sum(w * a2, axis=1)
+    rv = w - z[:, None] * a2
+    rho = jnp.sqrt(jnp.sum(rv * rv, axis=1) + 1e-30)
+    dz = jnp.maximum(jnp.abs(z) - H, 0.0)
+    dr = jnp.maximum(rho - R, 0.0)
+    out = jnp.sqrt(dz * dz + dr * dr)
+    return jnp.where(out > 0, out, jnp.maximum(rho - R, jnp.abs(z) - H))
+
+  gr = (np.sqrt(5.0) - 1.0) / 2.0
+
+  def body(_, c):
+    lo, hi = c
+    x1 = hi - gr * (hi - lo)
+    x2 = lo + gr * (hi - lo)
+    take_lo = sdist(x1) < sdist(x2)
+    return jnp.where(take_lo, lo, x1), jnp.where(take_lo, x2, hi)
+
+  lo, hi = lax.fori_loop(0, 48, body, (-hl, hl))
+  s = 0.5 * (lo + hi)
+
+  c = p1 + s[:, None] * a1
+  w = c - p2
+  z = jnp.sum(w * a2, axis=1)
+  rv = w - z[:, None] * a2
+  rho = jnp.sqrt(jnp.sum(rv * rv, axis=1) + 1e-30)
+  rhat = rv / rho[:, None]
+  inside = (rho <= R) & (jnp.abs(z) <= H)
+  sgnz = jnp.where(z >= 0, 1.0, -1.0).astype(dtype)
+
+  # outside: closest surface point (covers side, rim and face cases)
+  zc = jnp.clip(z, -H, H)
+  surf_out = p2 + zc[:, None] * a2 + jnp.minimum(rho, R)[:, None] * rhat
+  diff = c - surf_out
+  dd = jnp.sqrt(jnp.sum(diff * diff, axis=1) + 1e-30)
+  n_out = -diff / dd[:, None]
+  dist_out = dd - rcap
+
+  # inside: nearest-exit direction (side vs face), mirroring the
+  # penetration depth MPR reports for a swept sphere
+  side = (rho - R) >= (jnp.abs(z) - H)
+  surf_in = jnp.where(
+    side[:, None],
+    p2 + z[:, None] * a2 + R[:, None] * rhat,
+    p2 + (sgnz * H)[:, None] * a2 + rv,
+  )
+  n_in = jnp.where(side[:, None], -rhat, -(sgnz[:, None] * a2))
+  dist_in = jnp.maximum(rho - R, jnp.abs(z) - H) - rcap
+
+  nrm = jnp.where(inside[:, None], n_in, n_out)
+  dist = jnp.where(inside, dist_in, dist_out)
+  surf = jnp.where(inside[:, None], surf_in, surf_out)
+  pos = 0.5 * ((c + rcap[:, None] * nrm) + surf)
+  return pos, dist, nrm
 
 
 def _impedance_v(solimp, x):
@@ -493,9 +688,9 @@ def assemble_rows(mdl, cd: ContactData, q, v, ctx):
   # ---- contacts
   P = cd.point_b1.shape[0]
   if P:
-    pos, dist, n, t1, t2 = contact_points(cd, xpos, xmat, dtype)
+    pos, dist, n, t1, t2, gate = contact_points(cd, xpos, xmat, dtype)
     inc = jnp.asarray(cd.point_incmargin, dtype)
-    active = dist < inc
+    active = (dist < inc) & gate
     imp = _impedance_v(
       jnp.asarray(cd.point_solimp, dtype),
       jnp.abs(dist - inc) / jnp.asarray(cd.point_solimp[:, 2], dtype),
@@ -620,7 +815,7 @@ def contact_wrenches(cd: ContactData, mdl, q, v, ctx, f_rows, nbody: int):
   out = jnp.zeros((nbody, 6), dtype)
   if not P:
     return out
-  pos, dist, n, t1, t2 = contact_points(cd, xpos, xmat, dtype)
+  pos, dist, n, t1, t2, _ = contact_points(cd, xpos, xmat, dtype)
   L = len(cd.lim_dof)
   one = np.where(cd.point_condim == 1)[0]
   pyr = np.where(cd.point_condim == 3)[0]

@@ -17,7 +17,8 @@ friction cones, soft-constraint rows, primal Newton solve), plus free
 complete physics of the gym tasks Reacher, InvertedPendulum,
 InvertedDoublePendulum, Swimmer, HalfCheetah, Hopper, Walker2d, Ant,
 Humanoid and HumanoidStandup (whose inert tendons are validated and
-skipped). Only Pusher (cylinder geoms) stays host-tier-only.
+skipped). With cylinder contacts (device_collision.py) every gym
+MuJoCo task runs on-device, Pusher included.
 
 Pipeline per step, mirroring ``mj_step`` with the Euler integrator:
 

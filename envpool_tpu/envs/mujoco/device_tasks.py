@@ -900,3 +900,115 @@ class HumanoidStandupJaxEnv(HumanoidJaxEnv):
       "reward_linup": reward_linup, "reward_quadctrl": -ctrl_cost,
       "reward_impact": -impact, "reward_alive": survive,
     }
+
+
+class PusherJaxEnv(DeviceMujocoEnv):
+  """Pusher-v4 on-device (``envpool/mujoco/gym/pusher.h`` semantics).
+
+  Exercises the engine's cylinder contacts (plane-cylinder face/edge/
+  side regimes + capsule-cylinder closest-point, all condim-1) — the
+  last gym MuJoCo task family to come on-device. Rewards match the
+  reference: pre-step near/dist costs from body frame origins
+  (``data_->xpos``), weights 0.5/1.0/0.1.
+
+  Deviation contract: MuJoCo>=3 routes capsule-cylinder through its
+  iterative native-CCD (multi-point manifolds); this engine reproduces
+  the single-contact MPR behavior of the MuJoCo 2.x generation that
+  gym's Pusher-v4 and the reference pin (gym refuses Pusher-v4 on
+  mujoco>=3 outright). See ``tests/test_device_pusher.py``.
+  """
+
+  name = "PusherJax"
+  xml_file = "pusher.xml"
+  frame_skip = 5
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {
+      "reward_threshold": 0.0,
+      "ctrl_cost_weight": 0.1,
+      "dist_cost_weight": 1.0,
+      "near_cost_weight": 0.5,
+      "reset_qvel_scale": 0.005,
+      "cylinder_x_min": -0.3, "cylinder_x_max": 0.0,
+      "cylinder_y_min": -0.2, "cylinder_y_max": 0.2,
+      "cylinder_dist_min": 0.17,
+    }
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {
+      "obs": ArraySpec(np.float32, (23,), -_INF, _INF),
+      "info:reward_dist": ArraySpec(np.float32, (-1,)),
+      "info:reward_ctrl": ArraySpec(np.float32, (-1,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float32, (-1, 7), -2.0, 2.0)}
+
+  @classmethod
+  def _obs(cls, state):
+    mdl = cls.mdl()
+    q, v = state["q"], state["v"]
+    return jnp.concatenate([
+      q[:7], v[:7],
+      de.body_xpos(mdl, q, "tips_arm"),
+      de.body_xpos(mdl, q, "object"),
+      de.body_xpos(mdl, q, "goal"),
+    ])
+
+  @classmethod
+  def reset(cls, cfg: Any, state: Any, key: jax.Array):
+    mdl = cls.mdl()
+    kc, kv = jax.random.split(key)
+    q = jnp.asarray(mdl.init_qpos, jnp.float32)
+    # gym's rejection loop: uniform on the cylinder box conditioned on
+    # hypot(x, y) > dist_min (same distribution, device while_loop)
+    xlo, xhi = float(cfg.cylinder_x_min), float(cfg.cylinder_x_max)
+    ylo, yhi = float(cfg.cylinder_y_min), float(cfg.cylinder_y_max)
+    dmin = float(cfg.cylinder_dist_min)
+
+    def _cond(c):
+      return ~c[3]
+
+    def _draw(c):
+      k = c[0]
+      k, k1, k2 = jax.random.split(k, 3)
+      x = jax.random.uniform(k1, (), jnp.float32, xlo, xhi)
+      y = jax.random.uniform(k2, (), jnp.float32, ylo, yhi)
+      return k, x, y, jnp.hypot(x, y) > dmin
+
+    _, x, y, _ = jax.lax.while_loop(
+      _cond, _draw, (kc, jnp.float32(0.0), jnp.float32(0.0), jnp.bool_(False))
+    )
+    q = q.at[-4].set(x).at[-3].set(y).at[-2].set(0.0).at[-1].set(0.0)
+    s = float(cfg.reset_qvel_scale)
+    v = jax.random.uniform(kv, (mdl.nv,), jnp.float32, -s, s)
+    v = v.at[-4:].set(0.0)
+    state = {"q": q, "v": v}
+    zero = jnp.float32(0.0)
+    return state, cls._obs(state), {
+      "reward_dist": zero, "reward_ctrl": zero
+    }
+
+  @classmethod
+  def step(cls, cfg: Any, state: Any, action: Any, key: jax.Array):
+    del key
+    mdl = cls.mdl()
+    action = jnp.asarray(action, jnp.float32)
+    q = state["q"]
+    x_obj = de.body_xpos(mdl, q, "object")
+    near_cost = jnp.linalg.norm(x_obj - de.body_xpos(mdl, q, "tips_arm"))
+    dist_cost = jnp.linalg.norm(x_obj - de.body_xpos(mdl, q, "goal"))
+    q1, v1 = cls._physics(state, action)
+    state = {"q": q1, "v": v1}
+    ctrl_cost = jnp.sum(jnp.square(action))
+    reward = -(
+      float(cfg.dist_cost_weight) * dist_cost
+      + float(cfg.ctrl_cost_weight) * ctrl_cost
+      + float(cfg.near_cost_weight) * near_cost
+    )
+    return state, cls._obs(state), reward, jnp.bool_(False), {
+      "reward_dist": -dist_cost, "reward_ctrl": -ctrl_cost
+    }

@@ -98,6 +98,7 @@ for task, max_episode_steps in [
   ("Ant", 1000),
   ("Humanoid", 1000),
   ("HumanoidStandup", 1000),
+  ("Pusher", 100),
 ]:
   register(
     task_id=f"{task}Jax-v4",

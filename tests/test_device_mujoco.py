@@ -232,11 +232,20 @@ def test_device_mujoco_through_pool_deterministic() -> None:
   assert np.array_equal(a, b)
 
 
-def test_unsupported_models_raise() -> None:
-  """Out-of-scope geoms (pusher's cylinder) are rejected with a clear
-  error; ant/humanoid (free joints, contacts, inert tendons) extract."""
+def test_unsupported_models_raise(tmp_path) -> None:
+  """Out-of-scope geoms (box) are rejected with a clear error;
+  pusher (cylinder), ant and humanoid extract."""
+  xml = tmp_path / "box.xml"
+  xml.write_text(
+    "<mujoco><worldbody>"
+    '<geom name="floor" type="plane" size="1 1 .1"/>'
+    '<body name="b" pos="0 0 1"><freejoint/>'
+    '<geom name="g" type="box" size=".1 .1 .1"/></body>'
+    "</worldbody></mujoco>"
+  )
   with pytest.raises(NotImplementedError):
-    de.extract_model(_asset("pusher.xml"))
+    de.extract_model(str(xml))
+  assert de.extract_model(_asset("pusher.xml")).contacts is not None
   assert de.extract_model(_asset("ant.xml")).contacts is not None
   assert de.extract_model(_asset("humanoid.xml")).contacts is not None
 
