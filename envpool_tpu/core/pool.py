@@ -259,6 +259,13 @@ class TpuEnvPool:
         ).astype(jnp.int32)
         done_carry = done
       discount = (~done).astype(jnp.float32)
+      if "discount" in info:
+        # reserved info key: the env supplies its own discount (the
+        # dm_control semantics — 1 at the time limit, 0 only on early
+        # task termination; counterpart of the host tier's
+        # info["_override"] channel, core/host_pool.py). Single-player
+        # only: the multiplayer branch below recomputes per-player.
+        discount = info.pop("discount").astype(jnp.float32)
 
       if mask is not None:
         env2 = _select(mask, env2, ps.env)

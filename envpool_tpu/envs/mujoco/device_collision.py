@@ -94,6 +94,8 @@ class ContactData(NamedTuple):
   # [pc endpoints (1 or 2 per pair), cc points, pcy (4 per pair), cyc]
   point_b1: np.ndarray         # [P] int body of geom1
   point_b2: np.ndarray         # [P] int body of geom2
+  point_g1: np.ndarray         # [P] int geom1 id
+  point_g2: np.ndarray         # [P] int geom2 id
   point_sgn: np.ndarray        # [P, nv] +-1/0: dof influence on b2 - b1
   point_K: np.ndarray          # [P]
   point_B: np.ndarray          # [P]
@@ -189,10 +191,12 @@ def extract_contacts(m) -> ContactData:
         raise NotImplementedError("cylinder-cylinder contacts unsupported")
       # order by geom type (mj_collideGeoms' type-sorted collision
       # table: plane first, sphere/capsule before cylinder; contact
-      # normal then points geom1 -> geom2)
+      # normal then points geom1 -> geom2). Fresh names: rebinding the
+      # loop variables here would corrupt later iterations.
       if k1 > k2:
-        g1, g2, k1, k2 = g2, g1, k2, k1
-      pairs.append((g1, g2, k1, k2))
+        pairs.append((g2, g1, k2, k1))
+      else:
+        pairs.append((g1, g2, k1, k2))
 
   def _combine(g1, g2):
     """MuJoCo contact-parameter mixing for equal geom priority."""
@@ -235,7 +239,8 @@ def extract_contacts(m) -> ContactData:
   pcy_plane, pcy_cyl = [], []
   cyc_cap, cyc_cyl = [], []
   pt = {k: [] for k in (
-    "b1", "b2", "K", "B", "solimp", "inc", "diagA", "mu", "condim"
+    "b1", "b2", "g1", "g2", "K", "B", "solimp", "inc", "diagA", "mu",
+    "condim",
   )}
   iw = np.asarray(m.body_invweight0, np.float64)
 
@@ -252,6 +257,8 @@ def extract_contacts(m) -> ContactData:
     for _ in range(n_pts):
       pt["b1"].append(b1)
       pt["b2"].append(b2)
+      pt["g1"].append(g1)
+      pt["g2"].append(g2)
       pt["K"].append(K)
       pt["B"].append(B)
       pt["solimp"].append(np.asarray(solimp, np.float64))
@@ -332,6 +339,8 @@ def extract_contacts(m) -> ContactData:
     cyc_cyl=tuple(cyc_cyl),
     point_b1=np.asarray(pt["b1"], np.int64),
     point_b2=np.asarray(pt["b2"], np.int64),
+    point_g1=np.asarray(pt["g1"], np.int64),
+    point_g2=np.asarray(pt["g2"], np.int64),
     point_sgn=sgn,
     point_K=np.asarray(pt["K"], np.float64),
     point_B=np.asarray(pt["B"], np.float64),
@@ -795,6 +804,30 @@ def newton_qacc(solve_psd, M, a0, J, aref, D, mask,
   r = J @ a - aref
   f = jnp.maximum(0.0, -(Dm * r))
   return a, f
+
+
+def geom_normal_forces(cd: ContactData, f_rows, geoms):
+  """Sum of contact NORMAL forces per requested geom id (mj touch
+  sensor semantics: mj_contactForce's contact-frame normal component,
+  which for pyramidal facets is the sum of the facet lambdas). Row
+  layout mirrors assemble_rows; rows whose candidate involves the geom
+  contribute. Returns a [len(geoms)] array."""
+  import jax.numpy as jnp
+  L = len(cd.lim_dof)
+  one = np.where(cd.point_condim == 1)[0]
+  pyr = np.where(cd.point_condim == 3)[0]
+  P = cd.point_b1.shape[0]
+  normal = jnp.zeros((P,), f_rows.dtype)
+  if len(one):
+    normal = normal.at[one].set(f_rows[L:L + len(one)])
+  if len(pyr):
+    lam = f_rows[L + len(one):].reshape(len(pyr), 4)
+    normal = normal.at[pyr].set(jnp.sum(lam, axis=1))
+  out = []
+  for g in geoms:
+    sel = np.where((cd.point_g1 == g) | (cd.point_g2 == g))[0]
+    out.append(normal[sel].sum() if len(sel) else jnp.zeros((), f_rows.dtype))
+  return jnp.stack(out)
 
 
 def contact_wrenches(cd: ContactData, mdl, q, v, ctx, f_rows, nbody: int):

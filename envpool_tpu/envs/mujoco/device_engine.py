@@ -105,6 +105,13 @@ class DeviceModel(NamedTuple):
   site_body: Tuple[int, ...]
   site_pos: np.ndarray                 # [nsite, 3] (body frame)
   site_name2id: Dict[str, int]
+  site_size: np.ndarray                # [nsite, 3]
+  site_type: Tuple[int, ...]           # mjtGeom (touch-sensor zones)
+  geom_body: Tuple[int, ...]
+  geom_pos: np.ndarray                 # [ngeom, 3] (body frame)
+  geom_rotm: np.ndarray                # [ngeom, 3, 3] (body frame)
+  geom_size: np.ndarray                # [ngeom, 3]
+  geom_name2id: Dict[str, int]
   dof_invweight0: np.ndarray           # [nv] (diag-approx for limit rows)
   # contact tables (device_collision.ContactData) or None when the model
   # has no admissible geom pairs
@@ -140,7 +147,17 @@ def _inertia_boxes(m) -> np.ndarray:
 def extract_model(xml_path: str) -> DeviceModel:
   """Pull the constants this engine needs out of a host-side mjModel."""
   import mujoco
-  m = mujoco.MjModel.from_xml_path(xml_path)
+  return _extract_model(mujoco.MjModel.from_xml_path(xml_path))
+
+
+def extract_model_string(xml: str) -> DeviceModel:
+  """Like :func:`extract_model` but from an MJCF string (dmc replicas)."""
+  import mujoco
+  return _extract_model(mujoco.MjModel.from_xml_string(xml))
+
+
+def _extract_model(m) -> DeviceModel:
+  import mujoco
 
   for j in range(m.njnt):
     if m.jnt_type[j] not in (_JNT_SLIDE, _JNT_HINGE, _JNT_FREE):
@@ -279,6 +296,19 @@ def extract_model(xml_path: str) -> DeviceModel:
     site_body=tuple(int(b) for b in m.site_bodyid),
     site_pos=np.asarray(m.site_pos, dtype=np.float64),
     site_name2id=site_names,
+    site_size=np.asarray(m.site_size, dtype=np.float64),
+    site_type=tuple(int(t) for t in m.site_type),
+    geom_body=tuple(int(b) for b in m.geom_bodyid),
+    geom_pos=np.asarray(m.geom_pos, dtype=np.float64),
+    geom_rotm=np.stack([
+      _quat2rotm(np.asarray(m.geom_quat[g], dtype=np.float64))
+      for g in range(m.ngeom)
+    ]) if m.ngeom else np.zeros((0, 3, 3)),
+    geom_size=np.asarray(m.geom_size, dtype=np.float64),
+    geom_name2id={
+      mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_GEOM, g): g
+      for g in range(m.ngeom)
+    },
     dof_invweight0=np.asarray(m.dof_invweight0, dtype=np.float64),
     contacts=contacts,
   )
@@ -855,7 +885,8 @@ def _qacc_full(mdl: DeviceModel, q, v, tau, warm=None, first=None,
   """Forward dynamics incl. limit+contact constraints (mj_forward).
 
   ``want_fext`` additionally returns the per-body external contact
-  wrench about the world origin (cfrc_ext precursor) -> (qacc, fext).
+  wrench about the world origin (cfrc_ext precursor) and the efc row
+  forces -> (qacc, fext, f).
   """
   M, qfrc_smooth, ctx = _qacc_smooth_parts(mdl, q, v, tau)
   if _has_contact_points(mdl):
@@ -865,7 +896,7 @@ def _qacc_full(mdl: DeviceModel, q, v, tau, warm=None, first=None,
       fext = dc.contact_wrenches(
         mdl.contacts, mdl, q, v, ctx, f, mdl.nbody
       )
-      return qacc, fext
+      return qacc, fext, f
     return qacc
   qacc_sm = _solve_psd(M, qfrc_smooth)
   if not any(mdl.jnt_limited):
@@ -924,10 +955,11 @@ def step_smooth(mdl: DeviceModel, q, v, ctrl, nstep: int = 1,
     with plain forward dynamics per stage, damping explicit.
 
   ``want_aux`` (contact models only) additionally returns
-  ``(q_fwd, v_fwd, fext)``: the state of the LAST forward evaluation in
-  the chain (RK4: stage 4 of the final substep; Euler: the final
+  ``(q_fwd, v_fwd, fext, f)``: the state of the LAST forward evaluation
+  in the chain (RK4: stage 4 of the final substep; Euler: the final
   substep's pre-integration state) plus the per-body contact wrench
-  about the world origin at that evaluation. This is exactly what
+  about the world origin and the efc row forces at that evaluation
+  (``f`` feeds dmc touch sensors). This is exactly what
   mjData's derived fields (xipos/cinert/cvel/contacts) hold after
   ``mj_step`` — gymnasium reads those STALE values for Humanoid's
   observation and mass-center reward, and this reproduces that quirk.
@@ -957,8 +989,8 @@ def step_smooth(mdl: DeviceModel, q, v, ctrl, nstep: int = 1,
       a3 = _qacc_full(mdl, q3, v3, tau, a2)
       q4, v4 = integrate_pos(mdl, q, v3, h), v + h * a3
       if want_aux:
-        a4, fext = _qacc_full(mdl, q4, v4, tau, a3, want_fext=True)
-        aux = (q4, v4, fext)
+        a4, fext, f4 = _qacc_full(mdl, q4, v4, tau, a3, want_fext=True)
+        aux = (q4, v4, fext, f4)
       else:
         a4 = _qacc_full(mdl, q4, v4, tau, a3)
       q = integrate_pos(mdl, q, (v + 2 * v2 + 2 * v3 + v4) / 6.0, h)
@@ -976,7 +1008,7 @@ def step_smooth(mdl: DeviceModel, q, v, ctrl, nstep: int = 1,
           from . import device_collision as dc
           aux = (q, v, dc.contact_wrenches(
             mdl.contacts, mdl, q, v, ctx, _f, mdl.nbody
-          ))
+          ), _f)
         qfrc = qfrc + qfrc_con
       elif any(mdl.jnt_limited):
         qacc_sm = _solve_psd(M, qfrc_smooth)
@@ -1016,6 +1048,59 @@ def body_xpos(mdl: DeviceModel, q, name: str):
   """World position of a named body's frame origin (get_body_com)."""
   xpos, _, _, _ = fk(mdl, q)
   return xpos[mdl.body_name2id[name]]
+
+
+def body_xmat(mdl: DeviceModel, q, name: str):
+  """World rotation matrix of a named body (data.xmat)."""
+  _, xmat, _, _ = fk(mdl, q)
+  return xmat[mdl.body_name2id[name]]
+
+
+def body_xipos(mdl: DeviceModel, q, name: str):
+  """World position of a named body's center of mass (data.xipos)."""
+  import jax.numpy as jnp
+  xpos, xmat, _, _ = fk(mdl, q)
+  b = mdl.body_name2id[name]
+  return xpos[b] + xmat[b] @ jnp.asarray(mdl.body_ipos[b], q.dtype)
+
+
+def geom_xpos(mdl: DeviceModel, q, name: str, offset=None):
+  """World position of a named geom (data.geom_xpos); ``offset`` (a
+  traced [3] or [2]-padded array) overrides the model's body-frame geom
+  position — dmc tasks move target geoms per episode."""
+  import jax.numpy as jnp
+  xpos, xmat, _, _ = fk(mdl, q)
+  g = mdl.geom_name2id[name]
+  b = mdl.geom_body[g]
+  local = (
+    jnp.asarray(mdl.geom_pos[g], q.dtype) if offset is None else offset
+  )
+  return xpos[b] + xmat[b] @ local
+
+
+def subtree_linvel(mdl: DeviceModel, q, v, name: str):
+  """mj_subtreeVel's subtree COM linear velocity for a named body:
+  mass-weighted mean of per-body COM velocities over the subtree (the
+  ``subtreelinvel`` sensor dmc locomotion rewards read)."""
+  import jax.numpy as jnp
+  dt = q.dtype
+  xpos, xmat, anchors, axes = fk(mdl, q)
+  S = _motion_subspaces(mdl, anchors, axes)
+  vel = body_velocities(mdl, v, S)
+  root = mdl.body_name2id[name]
+  num = jnp.zeros(3, dt)
+  msum = 0.0
+  for b in range(mdl.nbody):
+    if not mdl.ancestor[root][b]:
+      continue
+    mb = float(mdl.body_mass[b])
+    if mb == 0.0:
+      continue
+    com = xpos[b] + xmat[b] @ jnp.asarray(mdl.body_ipos[b], dt)
+    w, v0 = vel[b][:3], vel[b][3:]
+    num = num + mb * (v0 + jnp.cross(w, com))
+    msum += mb
+  return num / msum
 
 
 def site_xpos(mdl: DeviceModel, q, name: str):

@@ -793,7 +793,7 @@ class HumanoidJaxEnv(DeviceMujocoEnv):
     del key
     mdl = cls.mdl()
     action = jnp.asarray(action, jnp.float32)
-    q1, v1, (qf, vf, fext) = de.step_smooth(
+    q1, v1, (qf, vf, fext, _f) = de.step_smooth(
       mdl, state["q"], state["v"], action, nstep=cls.frame_skip,
       want_aux=True,
     )
@@ -879,7 +879,7 @@ class HumanoidStandupJaxEnv(HumanoidJaxEnv):
     del key
     mdl = cls.mdl()
     action = jnp.asarray(action, jnp.float32)
-    q1, v1, (qf, vf, fext) = de.step_smooth(
+    q1, v1, (qf, vf, fext, _f) = de.step_smooth(
       mdl, state["q"], state["v"], action, nstep=cls.frame_skip,
       want_aux=True,
     )

@@ -330,8 +330,12 @@ DMC_HOPPER_XML = """
                      range="-1 1"/>
               <geom name="foot" type="capsule"
                     fromto="-0.08 0 -0.04 0.17 0 -0.04" size="0.03"/>
-              <site name="toe_site" pos="0.17 0 -0.04" size="0.01"/>
-              <site name="heel_site" pos="-0.08 0 -0.04" size="0.01"/>
+              <!-- touch zones: spheres covering the foot-capsule end
+                   hemispheres so ground contacts register (dm_control's
+                   touch sites enclose the contact points; radius must
+                   exceed the 0.03 foot radius) -->
+              <site name="toe_site" pos="0.17 0 -0.055" size="0.045"/>
+              <site name="heel_site" pos="-0.08 0 -0.055" size="0.045"/>
             </body>
           </body>
         </body>

@@ -88,7 +88,7 @@ def test_cfrc_ext_matches_rne_post_constraint() -> None:
       ncon += d.ncon
       qj, vj = jnp.asarray(q), jnp.asarray(v)
       tau = de.actuator_force(mdl, jnp.asarray(d.ctrl.copy()))
-      _, fext = de._qacc_full(mdl, qj, vj, tau, want_fext=True)
+      _, fext, _f = de._qacc_full(mdl, qj, vj, tau, want_fext=True)
       com0, *_ = de.com_quantities(mdl, qj, vj)
       F = np.asarray(fext[:, 3:])
       T = np.asarray(fext[:, :3]) - np.cross(np.asarray(com0), F)
