@@ -226,6 +226,10 @@ def main() -> None:
   # (~9.4k env-steps/s = 47k reference-accounting FPS per chip)
   run("AntJax-v4", 150.0, bench_device_family, "AntJax-v4",
       min(args.num_envs, 2048), min(args.steps, 100))
+  # on-device dm_control tier (device engine + suite task layer):
+  # cheetah-run steps the full contact pipeline once per env-step
+  run("CheetahJaxRun-v1", 120.0, bench_device_family, "CheetahJaxRun-v1",
+      min(args.num_envs, 4096), args.steps)
   # Host tier (mujoco over raw mj_step) — frames/s incl. frame_skip 5,
   # the reference's accounting for its Ant-v3 sync/async rows.
   run("host_ant_v4_sync_fps", 45.0, bench_host_family, "Ant-v4",

@@ -291,7 +291,10 @@ def _extract_model(m) -> DeviceModel:
       _quat2rotm(np.asarray(m.body_iquat[b], dtype=np.float64))
       for b in range(m.nbody)
     ]),
-    init_qpos=np.asarray(m.qpos0, dtype=np.float64),
+    # copy: fk() measures joint coordinates relative to qpos0 (line ~390),
+    # so an external in-place mutation through a view would corrupt every
+    # kinematic quantity of the cached model
+    init_qpos=np.array(m.qpos0, dtype=np.float64, copy=True),
     body_name2id=body_names,
     site_body=tuple(int(b) for b in m.site_bodyid),
     site_pos=np.asarray(m.site_pos, dtype=np.float64),
@@ -945,7 +948,7 @@ def integrate_pos(mdl: DeviceModel, q, v, h):
 
 
 def step_smooth(mdl: DeviceModel, q, v, ctrl, nstep: int = 1,
-                want_aux: bool = False):
+                want_aux: bool = False, tau=None):
   """mj_step x nstep, smooth dynamics only, per the model's integrator.
 
   - Euler (``mj_Euler``): qacc solves (M + h*diag(damping)) qacc =
@@ -970,7 +973,12 @@ def step_smooth(mdl: DeviceModel, q, v, ctrl, nstep: int = 1,
   dt = q.dtype
   h = jnp.asarray(mdl.timestep, dt)
   damping = jnp.asarray(mdl.dof_damping, dt)
-  tau = actuator_force(mdl, ctrl)
+  if tau is None:
+    # joint-transmission motors; callers with other transmission types
+    # (e.g. dmc point_mass's fixed tendons) pass qfrc directly via tau
+    tau = actuator_force(mdl, ctrl)
+  else:
+    tau = jnp.asarray(tau, dt)
   contacts = _has_contact_points(mdl)
   if want_aux and not contacts:
     raise ValueError("want_aux requires a contact model")

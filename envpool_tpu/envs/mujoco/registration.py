@@ -110,6 +110,44 @@ for task, max_episode_steps in [
     max_episode_steps=max_episode_steps,
   )
 
+# on-device dm_control tier (pure-JAX physics over the same MJCF
+# replicas); ids mirror the host tier's with a Jax suffix on the domain
+dmc_device_envs = [
+  ("acrobot", "swingup", 1000),
+  ("acrobot", "swingup_sparse", 1000),
+  ("cartpole", "balance", 1000),
+  ("cartpole", "balance_sparse", 1000),
+  ("cartpole", "swingup", 1000),
+  ("cartpole", "swingup_sparse", 1000),
+  ("cartpole", "two_poles", 1000),
+  ("cartpole", "three_poles", 1000),
+  ("cheetah", "run", 1000),
+  ("hopper", "stand", 1000),
+  ("hopper", "hop", 1000),
+  ("walker", "stand", 1000),
+  ("walker", "walk", 1000),
+  ("walker", "run", 1000),
+  ("pendulum", "swingup", 1000),
+  ("point_mass", "easy", 1000),
+  ("point_mass", "hard", 1000),
+  ("reacher", "easy", 1000),
+  ("reacher", "hard", 1000),
+]
+
+for domain, task, max_episode_steps in dmc_device_envs:
+  domain_name = "".join(g[:1].upper() + g[1:] for g in domain.split("_"))
+  task_name = "".join(g[:1].upper() + g[1:] for g in task.split("_"))
+  register(
+    task_id=f"{domain_name}Jax{task_name}-v1",
+    import_path="envpool_tpu.envs.mujoco.dmc",
+    spec_cls=f"Dmc{domain_name}JaxEnvSpec",
+    dm_cls=f"Dmc{domain_name}JaxDMEnvPool",
+    gym_cls=f"Dmc{domain_name}JaxGymEnvPool",
+    gymnasium_cls=f"Dmc{domain_name}JaxGymnasiumEnvPool",
+    task_name=task,
+    max_episode_steps=max_episode_steps,
+  )
+
 for domain, task, max_episode_steps in dmc_mujoco_envs:
   domain_name = "".join(g[:1].upper() + g[1:] for g in domain.split("_"))
   task_name = "".join(g[:1].upper() + g[1:] for g in task.split("_"))

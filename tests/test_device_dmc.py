@@ -1,0 +1,311 @@
+"""On-device dm_control tier: task-layer parity vs the host tier.
+
+The engine's physics parity vs raw ``mj_step`` is covered by
+``test_device_mujoco.py`` / ``test_device_contacts.py``; these tests pin
+the TASK layer — observation layout, tolerance rewards, episode-init
+statistics — of ``device_domains.py`` against the host ``domains.py``
+classes (which are themselves the reference's ``envpool/mujoco/dmc/*.h``
+logic over real mujoco). Methodology mirrors the reference's alignment
+strategy: force both tiers into the same physics state and step
+side-by-side (``mujoco_gym_align_test.py:42-60``).
+"""
+
+import math
+import types
+
+import numpy as np
+import pytest
+
+mujoco = pytest.importorskip("mujoco")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from envpool_tpu.envs.mujoco.dmc import device_domains as dd  # noqa: E402
+from envpool_tpu.envs.mujoco.dmc import domains as hd  # noqa: E402
+
+
+def _cfg(task, frame_skip=1):
+  return types.SimpleNamespace(
+    task_name=task, frame_skip=frame_skip, seed=0
+  )
+
+
+def _host(cls, task):
+  return cls(_cfg(task), env_id=0)
+
+
+def _force_host(env, q, v, ctrl=None):
+  env.data.qpos[:] = np.asarray(q)
+  env.data.qvel[:] = np.asarray(v)
+  if ctrl is not None:
+    env.data.ctrl[:] = np.asarray(ctrl)
+  mujoco.mj_forward(env.model, env.data)
+
+
+def _flat(obs_dict):
+  return np.concatenate(
+    [np.atleast_1d(np.asarray(x, np.float64)) for x in obs_dict.values()]
+  )
+
+
+# (device cls, host cls, task, action dim, extra-state builder)
+CONTACT_FREE = [
+  (dd.DmcPendulumJaxEnv, hd.DmcPendulumEnv, "swingup", 1),
+  (dd.DmcCartpoleJaxEnv, hd.DmcCartpoleEnv, "balance", 1),
+  (dd.DmcCartpoleJaxEnv, hd.DmcCartpoleEnv, "swingup_sparse", 1),
+  (dd.DmcCartpoleJaxEnv, hd.DmcCartpoleEnv, "three_poles", 1),
+  (dd.DmcAcrobotJaxEnv, hd.DmcAcrobotEnv, "swingup", 1),
+  (dd.DmcAcrobotJaxEnv, hd.DmcAcrobotEnv, "swingup_sparse", 1),
+]
+
+
+@pytest.mark.parametrize("dcls,hcls,task,adim", CONTACT_FREE)
+def test_obs_reward_trajectory_parity(dcls, hcls, task, adim) -> None:
+  """50-step trajectory: obs and reward match the host tier to <1e-8."""
+  with jax.enable_x64(True):
+    cfg = _cfg(task)
+    mdl = dcls.mdl(cfg)
+    host = _host(hcls, task)
+    rng = np.random.default_rng(3)
+    q = np.asarray(mdl.init_qpos) + rng.uniform(-0.05, 0.05, mdl.nq)
+    v = rng.uniform(-0.05, 0.05, mdl.nv)
+    state = {"q": jnp.asarray(q), "v": jnp.asarray(v)}
+    _force_host(host, q, v)
+    key = jax.random.PRNGKey(0)
+    for t in range(50):
+      act = 0.8 * np.sin(
+        0.11 * t + np.arange(adim, dtype=np.float64)
+      ).astype(np.float64)
+      r_host, _ = host.control_step(act)
+      state, obs_d, r_dev, term, info = dcls.step(
+        cfg, state, jnp.asarray(act), key
+      )
+      obs_h = host.task_observation()
+      np.testing.assert_allclose(
+        _flat(obs_d), _flat(obs_h), atol=1e-6,
+        err_msg=f"{task} obs diverged at step {t}",
+      )
+      assert abs(float(r_dev) - r_host) < 1e-6, f"{task} reward step {t}"
+      assert not bool(term)
+      assert float(info["discount"]) == 1.0
+
+
+def test_reacher_parity_both_tasks() -> None:
+  """Reacher: target in env state reproduces the host's geom mutation."""
+  with jax.enable_x64(True):
+    for task in ("easy", "hard"):
+      cfg = _cfg(task)
+      mdl = dd.DmcReacherJaxEnv.mdl(cfg)
+      host = _host(hd.DmcReacherEnv, task)
+      host.model.geom_size[host.id_target, 0] = host.target_size
+      rng = np.random.default_rng(5)
+      target = rng.uniform(-0.15, 0.15, 2)
+      host.model.geom_pos[host.id_target, :2] = target
+      q = np.asarray(mdl.init_qpos) + rng.uniform(-1.0, 1.0, mdl.nq)
+      v = rng.uniform(-0.5, 0.5, mdl.nv)
+      state = {
+        "q": jnp.asarray(q), "v": jnp.asarray(v),
+        "target": jnp.asarray(target),
+      }
+      _force_host(host, q, v)
+      key = jax.random.PRNGKey(0)
+      for t in range(30):
+        act = 0.5 * np.cos(0.2 * t + np.arange(2, dtype=np.float64))
+        r_host, _ = host.control_step(act)
+        state, obs_d, r_dev, _, _ = dd.DmcReacherJaxEnv.step(
+          cfg, state, jnp.asarray(act), key
+        )
+        obs_h = host.task_observation()
+        np.testing.assert_allclose(
+          _flat(obs_d), _flat(obs_h), atol=1e-6,
+          err_msg=f"reacher {task} obs step {t}",
+        )
+        assert abs(float(r_dev) - r_host) < 1e-6
+
+
+def test_point_mass_parity_tendon_mixing() -> None:
+  """point_mass: the state-borne W matrix == mjModel wrap_prm gains."""
+  with jax.enable_x64(True):
+    for task, wrap in (
+      ("easy", np.eye(2)),
+      ("hard", np.array([[0.6, 0.8], [-0.8, 0.6]])),
+    ):
+      cfg = _cfg(task)
+      mdl = dd.DmcPointMassJaxEnv.mdl(cfg)
+      host = _host(hd.DmcPointMassEnv, task)
+      host.model.wrap_prm[0:2] = wrap[0]
+      host.model.wrap_prm[2:4] = wrap[1]
+      rng = np.random.default_rng(7)
+      q = rng.uniform(-0.2, 0.2, mdl.nq)
+      v = rng.uniform(-0.2, 0.2, mdl.nv)
+      state = {
+        "q": jnp.asarray(q), "v": jnp.asarray(v),
+        "wrap": jnp.asarray(wrap),
+      }
+      _force_host(host, q, v)
+      key = jax.random.PRNGKey(0)
+      for t in range(30):
+        act = 0.7 * np.sin(0.3 * t + np.arange(2, dtype=np.float64))
+        r_host, _ = host.control_step(act)
+        state, obs_d, r_dev, _, _ = dd.DmcPointMassJaxEnv.step(
+          cfg, state, jnp.asarray(act), key
+        )
+        obs_h = host.task_observation()
+        np.testing.assert_allclose(
+          _flat(obs_d), _flat(obs_h), atol=1e-6,
+          err_msg=f"point_mass {task} obs step {t}",
+        )
+        assert abs(float(r_dev) - r_host) < 1e-6
+
+
+def test_cheetah_parity_through_contacts() -> None:
+  """cheetah run: obs/reward parity through plane contacts (30 steps)."""
+  with jax.enable_x64(True):
+    cfg = _cfg("run")
+    mdl = dd.DmcCheetahJaxEnv.mdl(cfg)
+    host = _host(hd.DmcCheetahEnv, "run")
+    rng = np.random.default_rng(11)
+    # settled-ish start: feet near the plane
+    q = np.array(mdl.init_qpos, np.float64)
+    q[1] = -0.05
+    q[3:] += rng.uniform(-0.1, 0.1, mdl.nq - 3)
+    v = rng.uniform(-0.1, 0.1, mdl.nv)
+    state = {"q": jnp.asarray(q), "v": jnp.asarray(v)}
+    _force_host(host, q, v)
+    key = jax.random.PRNGKey(0)
+    for t in range(30):
+      act = 0.6 * np.sin(0.17 * t + np.arange(6, dtype=np.float64))
+      r_host, _ = host.control_step(act)
+      state, obs_d, r_dev, _, _ = dd.DmcCheetahJaxEnv.step(
+        cfg, state, jnp.asarray(act), key
+      )
+      obs_h = host.task_observation()
+      np.testing.assert_allclose(
+        _flat(obs_d), _flat(obs_h), atol=1e-6,
+        err_msg=f"cheetah obs step {t}",
+      )
+      assert abs(float(r_dev) - r_host) < 1e-6, f"cheetah reward step {t}"
+
+
+def test_walker_parity_through_contacts() -> None:
+  """walker stand/walk: obs/reward parity with feet on the plane."""
+  with jax.enable_x64(True):
+    for task in ("stand", "walk"):
+      cfg = _cfg(task, frame_skip=5)
+      mdl = dd.DmcWalkerJaxEnv.mdl(cfg)
+      host = _host(hd.DmcWalkerEnv, task)
+      rng = np.random.default_rng(13)
+      q = np.array(mdl.init_qpos, np.float64)
+      q[1] = -0.1  # feet into the plane
+      q[3:] += rng.uniform(-0.1, 0.1, mdl.nq - 3)
+      v = rng.uniform(-0.1, 0.1, mdl.nv)
+      state = {"q": jnp.asarray(q), "v": jnp.asarray(v)}
+      _force_host(host, q, v)
+      host.n_sub_steps = 5
+      key = jax.random.PRNGKey(0)
+      for t in range(12):
+        act = 0.5 * np.sin(0.23 * t + np.arange(6, dtype=np.float64))
+        r_host, _ = host.control_step(act)
+        state, obs_d, r_dev, _, _ = dd.DmcWalkerJaxEnv.step(
+          cfg, state, jnp.asarray(act), key
+        )
+        obs_h = host.task_observation()
+        np.testing.assert_allclose(
+          _flat(obs_d), _flat(obs_h), atol=1e-6,
+          err_msg=f"walker {task} obs step {t}",
+        )
+        assert abs(float(r_dev) - r_host) < 1e-6
+
+
+def test_hopper_parity_and_touch() -> None:
+  """hopper stand/hop: obs (incl. log1p touch) and reward parity."""
+  with jax.enable_x64(True):
+    for task in ("stand", "hop"):
+      cfg = _cfg(task, frame_skip=4)
+      mdl = dd.DmcHopperJaxEnv.mdl(cfg)
+      host = _host(hd.DmcHopperEnv, task)
+      rng = np.random.default_rng(17)
+      q = np.array(mdl.init_qpos, np.float64)
+      q[1] = -0.035  # slight foot penetration; gravity keeps contact
+      q[3:] += rng.uniform(-0.05, 0.05, mdl.nq - 3)
+      v = 0.02 * rng.uniform(-1.0, 1.0, mdl.nv)
+      state = {
+        "q": jnp.asarray(q), "v": jnp.asarray(v),
+        "touch": jnp.zeros(2, np.float64),
+      }
+      _force_host(host, q, v)
+      host.n_sub_steps = 4
+      key = jax.random.PRNGKey(0)
+      touched = 0.0
+      for t in range(25):
+        act = 0.4 * np.sin(0.31 * t + np.arange(4, dtype=np.float64))
+        r_host, _ = host.control_step(act)
+        state, obs_d, r_dev, _, _ = dd.DmcHopperJaxEnv.step(
+          cfg, state, jnp.asarray(act), key
+        )
+        obs_h = host.task_observation()
+        np.testing.assert_allclose(
+          _flat(obs_d), _flat(obs_h), atol=1e-5,
+          err_msg=f"hopper {task} obs step {t}",
+        )
+        assert abs(float(r_dev) - r_host) < 1e-6
+        touched += float(np.asarray(obs_d["touch"]).sum())
+      assert touched > 0.0, "touch sensors never activated"
+
+
+def test_device_reset_statistics() -> None:
+  """Episode init draws land where the suite's randomizer puts them."""
+  with jax.enable_x64(True):
+    # reacher hard: wrist within its limit range, shoulder in (-pi, pi),
+    # target radius in [0.05, 0.2]
+    cfg = _cfg("hard")
+    keys = jax.random.split(jax.random.PRNGKey(1), 256)
+    mdl = dd.DmcReacherJaxEnv.mdl(cfg)
+    states = [dd.DmcReacherJaxEnv.reset(cfg, None, k)[0] for k in keys[:64]]
+    qs = np.stack([np.asarray(s["q"]) for s in states])
+    tgts = np.stack([np.asarray(s["target"]) for s in states])
+    lo, hi = mdl.jnt_range[1]
+    assert (qs[:, 1] >= lo).all() and (qs[:, 1] <= hi).all()
+    assert (np.abs(qs[:, 0]) <= math.pi).all()
+    radii = np.linalg.norm(tgts, axis=1)
+    assert (radii >= 0.05 - 1e-6).all() and (radii <= 0.2 + 1e-6).all()
+    assert radii.std() > 0.01
+
+    # point_mass hard: |dir1 . dir2| <= 0.9, both unit
+    cfg = _cfg("hard")
+    states = [
+      dd.DmcPointMassJaxEnv.reset(cfg, None, k)[0] for k in keys[64:128]
+    ]
+    for s in states:
+      w = np.asarray(s["wrap"], np.float64)
+      np.testing.assert_allclose(np.linalg.norm(w, axis=1), 1.0, atol=1e-5)
+      assert abs(float(w[0] @ w[1])) <= 0.9 + 1e-5
+
+    # cartpole swingup: hinge_1 near pi, cart near 0
+    cfg = _cfg("swingup")
+    states = [
+      dd.DmcCartpoleJaxEnv.reset(cfg, None, k)[0] for k in keys[128:160]
+    ]
+    qs = np.stack([np.asarray(s["q"]) for s in states])
+    assert np.abs(qs[:, 0]).max() < 0.05
+    assert np.abs(qs[:, 1] - math.pi).max() < 0.05
+
+
+def test_device_dmc_through_pool_deterministic() -> None:
+  """Same seed => identical trajectories through the full TpuEnvPool."""
+  import envpool_tpu
+
+  def run():
+    env = envpool_tpu.make(
+      "PendulumJaxSwingup-v1", env_type="dm", num_envs=3, seed=7
+    )
+    env.reset()
+    outs = []
+    for t in range(5):
+      ts = env.step({"action": np.full((3, 1), 0.5, np.float32)})
+      outs.append(np.asarray(ts.observation.orientation))
+    return np.stack(outs)
+
+  a, b = run(), run()
+  np.testing.assert_array_equal(a, b)
