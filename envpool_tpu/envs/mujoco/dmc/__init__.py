@@ -8,10 +8,12 @@ from .device_domains import (
   DmcAcrobotJaxEnv,
   DmcCartpoleJaxEnv,
   DmcCheetahJaxEnv,
+  DmcFishJaxEnv,
   DmcHopperJaxEnv,
   DmcPendulumJaxEnv,
   DmcPointMassJaxEnv,
   DmcReacherJaxEnv,
+  DmcSwimmerJaxEnv,
   DmcWalkerJaxEnv,
 )
 from .domains import (
@@ -55,8 +57,9 @@ for _env_cls in (
 # on-device tier: default TpuEnvPool engine
 for _env_cls in (
   DmcAcrobotJaxEnv, DmcCartpoleJaxEnv, DmcCheetahJaxEnv,
-  DmcHopperJaxEnv, DmcPendulumJaxEnv, DmcPointMassJaxEnv,
-  DmcReacherJaxEnv, DmcWalkerJaxEnv,
+  DmcFishJaxEnv, DmcHopperJaxEnv, DmcPendulumJaxEnv,
+  DmcPointMassJaxEnv, DmcReacherJaxEnv, DmcSwimmerJaxEnv,
+  DmcWalkerJaxEnv,
 ):
   _spec, _dm, _gym, _gymnasium = py_env(_env_cls)
   _name = _env_cls.name  # "DmcPendulumJax" etc.

@@ -530,6 +530,232 @@ class DmcPointMassJaxEnv(DmcDeviceEnv):
     )
 
 
+def _site_vel_gyro(mdl, q, v, site: str):
+  """Velocimeter + gyro sensor values at a named site (site frame ==
+  body frame in these replicas): the body's Plucker velocity moved to
+  the site point, rotated into the body frame (mj_sensorVel)."""
+  xpos, xmat, anchors, axes = de.fk(mdl, q)
+  S = de._motion_subspaces(mdl, anchors, axes)
+  vel = de.body_velocities(mdl, v, S)
+  s = mdl.site_name2id[site]
+  b = mdl.site_body[s]
+  w, v0 = vel[b][:3], vel[b][3:]
+  x = xpos[b] + xmat[b] @ jnp.asarray(mdl.site_pos[s], q.dtype)
+  return xmat[b].T @ (v0 + jnp.cross(w, x)), xmat[b].T @ w
+
+
+class DmcSwimmerJaxEnv(DmcDeviceEnv):
+  """dmc swimmer swimmer6/swimmer15 on-device
+  (``envpool/mujoco/dmc/swimmer.h``) — the n-link chain in a viscous
+  fluid (the engine's inertia-box medium forces), per-link velocimeter +
+  gyro observations, target position in env state."""
+
+  name = "DmcSwimmerJax"
+  model_xml = staticmethod(assets.swimmer_xml)
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {"frame_skip": 15, "task_name": "swimmer6"}
+
+  @staticmethod
+  def _n(cfg) -> int:
+    n = {"swimmer6": 6, "swimmer15": 15}.get(str(cfg.task_name))
+    if n is None:
+      raise RuntimeError(
+        f"Unknown task_name {cfg.task_name} for dmc swimmer."
+      )
+    return n
+
+  @classmethod
+  def state_spec(cls, cfg: Any) -> Dict[str, ArraySpec]:
+    n = cls._n(cfg)
+    return {
+      "obs:joints": ArraySpec(np.float32, (n - 1,)),
+      "obs:to_target": ArraySpec(np.float32, (2,)),
+      "obs:body_velocities": ArraySpec(np.float32, (3 * n,)),
+    }
+
+  @classmethod
+  def action_spec(cls, cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float32, (-1, cls._n(cfg) - 1), -1., 1.)}
+
+  @classmethod
+  def _to_target(cls, cfg, state):
+    mdl = cls.mdl(cfg)
+    q = state["q"]
+    target = jnp.concatenate([
+      state["target"],
+      jnp.asarray(mdl.geom_pos[mdl.geom_name2id["target"], 2], q.dtype)[
+        None
+      ],
+    ])
+    nose = de.geom_xpos(mdl, q, "nose")
+    head = de.body_xmat(mdl, q, "head")
+    return (head.T @ (target - nose))[:2]
+
+  @classmethod
+  def _obs(cls, cfg, state):
+    mdl = cls.mdl(cfg)
+    n = cls._n(cfg)
+    q, v = state["q"], state["v"]
+    sites = ["head_site"] + [f"site_{i}" for i in range(n - 1)]
+    vels = []
+    for s in sites:
+      lin, gyr = _site_vel_gyro(mdl, q, v, s)
+      vels += [lin[0], lin[1], gyr[2]]
+    return {
+      "joints": q[3:],
+      "to_target": cls._to_target(cfg, state),
+      "body_velocities": jnp.stack(vels),
+    }
+
+  @classmethod
+  def reset(cls, cfg: Any, state: Any, key: jax.Array):
+    mdl = cls.mdl(cfg)
+    kj, kp, kx, ky = jax.random.split(key, 4)
+    q, v = cls._reset_qv(cfg)
+    q = randomize_limited_and_rotational_joints(mdl, q, kj)
+    # target uniform in a 2x2 box, or a 0.3 box with probability 0.2
+    box = jnp.where(
+      jax.random.uniform(kp, (), jnp.float32) < 0.2, 0.3, 2.0
+    )
+    target = jnp.stack([
+      jax.random.uniform(kx, (), jnp.float32, -1.0, 1.0) * box,
+      jax.random.uniform(ky, (), jnp.float32, -1.0, 1.0) * box,
+    ])
+    state = {"q": q, "v": v, "target": target}
+    return state, cls._obs(cfg, state), dict(cls._DISCOUNT_INFO)
+
+  @classmethod
+  def step(cls, cfg: Any, state: Any, action: Any, key: jax.Array):
+    del key
+    new = cls._physics(cfg, state, jnp.asarray(action, jnp.float32))
+    state = {**state, **new}
+    mdl = cls.mdl(cfg)
+    target_size = float(mdl.geom_size[mdl.geom_name2id["target"], 0])
+    d = jnp.linalg.norm(cls._to_target(cfg, state))
+    from .rewards import LONG_TAIL
+    reward = tolerance(
+      d, 0.0, target_size, 5 * target_size, 0.1, LONG_TAIL
+    )
+    return state, cls._obs(cfg, state), reward, jnp.bool_(False), dict(
+      cls._DISCOUNT_INFO
+    )
+
+
+class DmcFishJaxEnv(DmcDeviceEnv):
+  """dmc fish upright/swim on-device (``envpool/mujoco/dmc/fish.h``):
+  quaternion free root in a zero-gravity viscous medium."""
+
+  name = "DmcFishJax"
+  model_xml = assets.FISH_XML
+  _JOINTS = (
+    "tail1", "tail_twist", "tail2", "finright_roll", "finright_pitch",
+    "finleft_roll", "finleft_pitch",
+  )
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {"frame_skip": 10, "task_name": "upright"}
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    if str(cfg.task_name) not in ("upright", "swim"):
+      raise RuntimeError(
+        f"Unknown task_name {cfg.task_name} for dmc fish."
+      )
+    return {
+      "obs:joint_angles": ArraySpec(np.float32, (7,)),
+      "obs:upright": ArraySpec(np.float32, ()),
+      "obs:velocity": ArraySpec(np.float32, (13,)),
+      "obs:target": ArraySpec(np.float32, (3,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float32, (-1, 5), -1.0, 1.0)}
+
+  @classmethod
+  def _joint_qadr(cls, mdl):
+    # joints appear in model order after the free root (adr 0..6);
+    # resolve by walking the joint table: hinge joints in declaration
+    # order match _JOINTS (the replica declares them in this order)
+    return [
+      mdl.jnt_qadr[j] for j, t in enumerate(mdl.jnt_type) if t == _HINGE
+    ]
+
+  @classmethod
+  def _upright(cls, cfg, state):
+    return de.body_xmat(cls.mdl(cfg), state["q"], "torso")[2, 2]
+
+  @classmethod
+  def _mouth_to_target(cls, cfg, state):
+    mdl = cls.mdl(cfg)
+    q = state["q"]
+    d = state["target"] - de.geom_xpos(mdl, q, "mouth")
+    return de.body_xmat(mdl, q, "torso").T @ d
+
+  @classmethod
+  def _obs(cls, cfg, state):
+    qadr = cls._joint_qadr(cls.mdl(cfg))
+    q = state["q"]
+    target = (
+      cls._mouth_to_target(cfg, state)
+      if str(cfg.task_name) == "swim" else jnp.zeros(3, q.dtype)
+    )
+    return {
+      "joint_angles": jnp.stack([q[a] for a in qadr]),
+      "upright": cls._upright(cfg, state),
+      "velocity": state["v"],
+      "target": target,
+    }
+
+  @classmethod
+  def reset(cls, cfg: Any, state: Any, key: jax.Array):
+    mdl = cls.mdl(cfg)
+    kq, kj, kt = jax.random.split(key, 3)
+    q, v = cls._reset_qv(cfg)
+    quat = jax.random.normal(kq, (4,), q.dtype)
+    q = q.at[3:7].set(quat / jnp.linalg.norm(quat))
+    qadr = cls._joint_qadr(mdl)
+    draws = jax.random.uniform(kj, (len(qadr),), q.dtype, -0.2, 0.2)
+    for i, a in enumerate(qadr):
+      q = q.at[a].set(draws[i])
+    if str(cfg.task_name) == "swim":
+      t = jax.random.uniform(kt, (3,), jnp.float32)
+      target = jnp.stack([
+        -0.4 + 0.8 * t[0], -0.4 + 0.8 * t[1], 0.1 + 0.2 * t[2]
+      ])
+    else:
+      g = mdl.geom_name2id["target"]
+      target = jnp.asarray(
+        mdl.body_pos[mdl.geom_body[g]] * 0 + mdl.geom_pos[g], jnp.float32
+      )
+    state = {"q": q, "v": v, "target": target}
+    return state, cls._obs(cfg, state), dict(cls._DISCOUNT_INFO)
+
+  @classmethod
+  def step(cls, cfg: Any, state: Any, action: Any, key: jax.Array):
+    del key
+    new = cls._physics(cfg, state, jnp.asarray(action, jnp.float32))
+    state = {**state, **new}
+    mdl = cls.mdl(cfg)
+    upright = cls._upright(cfg, state)
+    if str(cfg.task_name) == "swim":
+      radii = float(
+        mdl.geom_size[mdl.geom_name2id["mouth"], 0]
+        + mdl.geom_size[mdl.geom_name2id["target"], 0]
+      )
+      d = jnp.linalg.norm(cls._mouth_to_target(cfg, state))
+      in_target = tolerance(d, 0.0, radii, 2 * radii)
+      reward = (7 * in_target + 0.5 * (upright + 1)) / 8
+    else:
+      reward = tolerance(upright, 1.0, 1.0, 1.0)
+    return state, cls._obs(cfg, state), reward, jnp.bool_(False), dict(
+      cls._DISCOUNT_INFO
+    )
+
+
 def _point_normal_forces(cd, f_rows):
   """Per-candidate-point contact normal force [P] from the solved efc
   row forces (row layout mirrors assemble_rows: limits, condim-1 points,

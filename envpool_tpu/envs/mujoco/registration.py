@@ -122,6 +122,10 @@ dmc_device_envs = [
   ("cartpole", "two_poles", 1000),
   ("cartpole", "three_poles", 1000),
   ("cheetah", "run", 1000),
+  ("fish", "upright", 1000),
+  ("fish", "swim", 1000),
+  ("swimmer", "swimmer6", 1000),
+  ("swimmer", "swimmer15", 1000),
   ("hopper", "stand", 1000),
   ("hopper", "hop", 1000),
   ("walker", "stand", 1000),
