@@ -604,11 +604,19 @@ def passive_spring_force(mdl: DeviceModel, q):
 
 
 def _solve_psd(A, b):
-  """Solve with a tiny SPD system (nv <= ~6): Cholesky-free direct solve.
+  """Solve with a tiny SPD system: column-vectorized Cholesky.
 
-  jnp.linalg.solve lowers to LU, which TPU only implements for f32/c64;
-  for these tiny matrices an explicit Gaussian elimination is both
-  portable (works in f64-on-CPU tests) and faster than a LAPACK call.
+  jnp.linalg.solve lowers to LU, which TPU only implements for f32/c64
+  (and the batched LAPACK-style custom calls are ~100x slower than this
+  at nv<=23 anyway); an explicit factorization is both portable (works
+  in f64-on-CPU tests) and fast.
+
+  The factorization/substitutions advance one COLUMN per step, so under
+  ``vmap`` each step is a handful of [batch, <=nv] vector ops. The
+  fully scalar-unrolled form this replaces traced to ~nv^3/6 individual
+  [batch] ops, and XLA's per-op overhead made the Hessian solve ~95% of
+  the contact Newton iteration's runtime on TPU (measured: 1.33 ms ->
+  0.30 ms per iteration for Ant's nv=14 at 2048 envs).
   """
   import jax.numpy as jnp
   n = A.shape[0]
@@ -619,30 +627,28 @@ def _solve_psd(A, b):
     x0 = (A[1, 1] * b[0] - A[0, 1] * b[1]) / det
     x1 = (A[0, 0] * b[1] - A[1, 0] * b[0]) / det
     return jnp.stack([x0, x1])
-  # unrolled Cholesky (A is SPD: mass matrix + positive diagonal terms)
-  L = [[None] * n for _ in range(n)]
+  # full-f32 dots: TPU's default dot precision runs f32 through bf16
+  # MXU passes, which loses enough mantissa to make the factorization of
+  # ill-conditioned mass matrices (tiny fin/finger links) take sqrt of a
+  # negative — the scalar form this replaces was exact f32 multiply-adds
+  import jax.lax
+  dot = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+  idx = np.arange(n)
+  zero = jnp.zeros((), A.dtype)
+  L = jnp.zeros_like(A)
+  for j in range(n):
+    s = A[:, j] - dot(L[:, :j], L[j, :j]) if j else A[:, j]
+    L = L.at[:, j].set(jnp.where(idx >= j, s / jnp.sqrt(s[j]), zero))
+  y = jnp.zeros_like(b)
   for i in range(n):
-    for j in range(i + 1):
-      s = A[i, j]
-      for k in range(j):
-        s = s - L[i][k] * L[j][k]
-      if i == j:
-        L[i][j] = jnp.sqrt(s)
-      else:
-        L[i][j] = s / L[j][j]
-  y = [None] * n
-  for i in range(n):
-    s = b[i]
-    for k in range(i):
-      s = s - L[i][k] * y[k]
-    y[i] = s / L[i][i]
-  x = [None] * n
+    y = y.at[i].set(
+      ((b[i] - dot(L[i, :i], y[:i])) if i else b[0]) / L[i, i]
+    )
+  x = jnp.zeros_like(b)
   for i in range(n - 1, -1, -1):
-    s = y[i]
-    for k in range(i + 1, n):
-      s = s - L[k][i] * x[k]
-    x[i] = s / L[i][i]
-  return jnp.stack(x)
+    r = y[i] - dot(L[i + 1:, i], x[i + 1:]) if i < n - 1 else y[i]
+    x = x.at[i].set(r / L[i, i])
+  return x
 
 
 def _impedance(solimp, x):
@@ -1044,6 +1050,15 @@ def step_smooth(mdl: DeviceModel, q, v, ctrl, nstep: int = 1,
     if want_aux:
       aux = jax.tree_util.tree_map(lambda x: x[-1], auxs)
       return q, v, aux
+  elif nstep > 1:
+    # contact-free chains scan too: unrolling frame_skip copies of the
+    # full smooth dynamics (fish 10, swimmer 15) made the traced program
+    # ~nstep x larger for zero runtime benefit — compile time only
+    def scan_body(c, _):
+      q, v = c
+      q, v, _, _ = one_step(q, v)
+      return (q, v), None
+    (q, v), _ = lax.scan(scan_body, (q, v), None, length=nstep)
   else:
     for _ in range(nstep):
       q, v, _, aux = one_step(q, v)

@@ -8,6 +8,7 @@ from .device_domains import (
   DmcAcrobotJaxEnv,
   DmcCartpoleJaxEnv,
   DmcCheetahJaxEnv,
+  DmcFingerJaxEnv,
   DmcFishJaxEnv,
   DmcHopperJaxEnv,
   DmcPendulumJaxEnv,
@@ -57,7 +58,7 @@ for _env_cls in (
 # on-device tier: default TpuEnvPool engine
 for _env_cls in (
   DmcAcrobotJaxEnv, DmcCartpoleJaxEnv, DmcCheetahJaxEnv,
-  DmcFishJaxEnv, DmcHopperJaxEnv, DmcPendulumJaxEnv,
+  DmcFingerJaxEnv, DmcFishJaxEnv, DmcHopperJaxEnv, DmcPendulumJaxEnv,
   DmcPointMassJaxEnv, DmcReacherJaxEnv, DmcSwimmerJaxEnv,
   DmcWalkerJaxEnv,
 ):

@@ -56,20 +56,26 @@ def _dmodel(xml: str) -> de.DeviceModel:
 
 
 def randomize_limited_and_rotational_joints(
-  mdl: de.DeviceModel, q: jax.Array, key: jax.Array
+  mdl: de.DeviceModel, q: jax.Array, key: jax.Array,
+  limited_only: bool = False,
 ) -> jax.Array:
   """JAX counterpart of the suite's joint randomizer (``base.py:147-176``)
   for hinge/slide models: limited joints uniform in range, unlimited
-  hinges uniform(-pi, pi). Static loop over the (tiny) joint table."""
+  hinges uniform(-pi, pi). Static loop over the (tiny) joint table.
+
+  ``limited_only=True`` reproduces the episode inits that randomize
+  *only* limited joints and leave unlimited root joints at 0 (e.g.
+  cheetah, ``envpool/mujoco/dmc/cheetah.h:83-98``)."""
   for j, jt in enumerate(mdl.jnt_type):
     if jt not in (_SLIDE, _HINGE):
       continue
-    key, sub = jax.random.split(key)
     qa = mdl.jnt_qadr[j]
     if mdl.jnt_limited[j]:
+      key, sub = jax.random.split(key)
       lo, hi = float(mdl.jnt_range[j, 0]), float(mdl.jnt_range[j, 1])
       q = q.at[qa].set(jax.random.uniform(sub, (), q.dtype, lo, hi))
-    elif jt == _HINGE:
+    elif jt == _HINGE and not limited_only:
+      key, sub = jax.random.split(key)
       q = q.at[qa].set(
         jax.random.uniform(sub, (), q.dtype, -math.pi, math.pi)
       )
@@ -270,8 +276,14 @@ class DmcCartpoleJaxEnv(DmcDeviceEnv):
       # cartpole.h:162-183
       upright = jnp.mean((zz + 1) / 2)
       centered = (1 + tolerance(cart, 0.0, 0.0, 2.0)) / 2
+      # mj_fwdActuation clamps data_->ctrl in place, so the reference's
+      # small_control (cartpole.h:169) sees the ctrlrange-clamped value
+      mdl = cls.mdl(cfg)
+      ctrl0 = jnp.clip(
+        action[0], float(mdl.ctrl_range[0, 0]), float(mdl.ctrl_range[0, 1])
+      )
       small_control = (
-        tolerance(action[0], 0.0, 0.0, 1.0, 0.0, QUADRATIC) + 4
+        tolerance(ctrl0, 0.0, 0.0, 1.0, 0.0, QUADRATIC) + 4
       ) / 5
       small_velocity = (
         jnp.min(tolerance(state["v"][1:], 0.0, 0.0, 5.0)) + 1
@@ -756,6 +768,162 @@ class DmcFishJaxEnv(DmcDeviceEnv):
     )
 
 
+class DmcFingerJaxEnv(DmcDeviceEnv):
+  """dmc finger spin/turn_easy/turn_hard on-device
+  (``envpool/mujoco/dmc/finger.h``) — capsule-capsule contacts between
+  the planar finger and the spinner, log1p touch observations, and the
+  collision-free episode-init redraw expressed as a static K-candidate
+  selection instead of the host's rejection loop (finger.h:202-218)."""
+
+  name = "DmcFingerJax"
+  _EASY_TARGET = 0.07
+  _HARD_TARGET = 0.03
+  _SPIN_VELOCITY = 15.0
+  _INIT_DRAWS = 8  # candidate joint draws per episode init
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {"frame_skip": 2, "task_name": "spin"}
+
+  @classmethod
+  def mdl(cls, cfg: Any) -> de.DeviceModel:
+    base = _dmodel(assets.FINGER_XML)
+    if str(cfg.task_name) == "spin":
+      # finger.h:123-125: spin lowers the spinner hinge damping to 0.03
+      # (a model mutation; task_name is static config, so bake it in)
+      hinge = [
+        j for j in range(len(base.jnt_type)) if not base.jnt_limited[j]
+      ][0]
+      damping = np.array(base.dof_damping, copy=True)
+      damping[base.jnt_dof[hinge]] = 0.03
+      base = base._replace(dof_damping=damping)
+    return base
+
+  @classmethod
+  def _is_spin(cls, cfg: Any) -> bool:
+    task = str(cfg.task_name)
+    if task not in ("spin", "turn_easy", "turn_hard"):
+      raise RuntimeError(f"Unknown task_name {task} for dmc finger.")
+    return task == "spin"
+
+  @classmethod
+  def _target_size(cls, cfg: Any) -> float:
+    """Effective target site radius: the per-task mutation for turn
+    tasks (finger.h:138), the replica's default site size for spin."""
+    task = str(cfg.task_name)
+    if task == "turn_easy":
+      return cls._EASY_TARGET
+    if task == "turn_hard":
+      return cls._HARD_TARGET
+    mdl = cls.mdl(cfg)
+    return float(mdl.site_size[mdl.site_name2id["target"], 0])
+
+  @classmethod
+  def state_spec(cls, cfg: Any) -> Dict[str, ArraySpec]:
+    # like the reference spec (finger.h:48-56) and the host tier, the
+    # target keys are present for ALL tasks; spin simply never moves the
+    # target site, so they report the default site position
+    cls._is_spin(cfg)  # validates task_name
+    return {
+      "obs:position": ArraySpec(np.float32, (4,)),
+      "obs:velocity": ArraySpec(np.float32, (3,)),
+      "obs:touch": ArraySpec(np.float32, (2,)),
+      "obs:target_position": ArraySpec(np.float32, (2,)),
+      "obs:dist_to_target": ArraySpec(np.float32, ()),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float32, (-1, 2), -1.0, 1.0)}
+
+  @classmethod
+  def _site_xz(cls, mdl, xpos, xmat, name):
+    s = mdl.site_name2id[name]
+    b = mdl.site_body[s]
+    p = xpos[b] + xmat[b] @ jnp.asarray(mdl.site_pos[s], xpos[b].dtype)
+    return jnp.stack([p[0], p[2]])
+
+  @classmethod
+  def _obs(cls, cfg, state):
+    mdl = cls.mdl(cfg)
+    q, v = state["q"], state["v"]
+    xpos, xmat, _, _ = de.fk(mdl, q)
+    spinner = cls._site_xz(mdl, xpos, xmat, "spinner_site")
+    tip = cls._site_xz(mdl, xpos, xmat, "tip") - spinner
+    target = state["target"] - spinner
+    return {
+      "position": jnp.concatenate([q[:2], tip]),
+      "velocity": v,
+      "touch": jnp.log1p(state["touch"]),
+      "target_position": target,
+      "dist_to_target": (
+        jnp.linalg.norm(target - tip) - cls._target_size(cfg)
+      ),
+    }
+
+  @classmethod
+  def reset(cls, cfg: Any, state: Any, key: jax.Array):
+    from .. import device_collision as dc
+    mdl = cls.mdl(cfg)
+    cd = mdl.contacts
+    kt, kj = jax.random.split(key)
+    q0, v = cls._reset_qv(cfg)
+    # collision-free random joint angles: draw K candidates, take the
+    # first with every contact candidate separated (ncon == 0)
+    qs, oks = [], []
+    for k in jax.random.split(kj, cls._INIT_DRAWS):
+      qc = randomize_limited_and_rotational_joints(mdl, q0, k)
+      xpos, xmat, _, _ = de.fk(mdl, qc)
+      _, dist, _, _, _, gate = dc.contact_points(cd, xpos, xmat, qc.dtype)
+      oks.append(jnp.all((dist >= 0) | ~gate))
+      qs.append(qc)
+    oks_v = jnp.stack(oks)
+    pick = jnp.argmax(oks_v)  # first True (all-False picks 0)
+    q = jnp.stack(qs)[pick]
+    state = {"q": q, "v": v, "touch": jnp.zeros(2, q.dtype)}
+    if cls._is_spin(cfg):
+      # spin never moves the target site: world position of the
+      # (worldbody) "target" site, constant
+      s = mdl.site_name2id["target"]
+      state["target"] = jnp.asarray(
+        mdl.site_pos[s][[0, 2]], q.dtype
+      )
+    else:
+      # finger.h:127-139: target on the circle of radius
+      # sum(geom_size[cap1]) about the (static) hinge anchor
+      g = mdl.geom_name2id["cap1"]
+      radius = float(np.sum(mdl.geom_size[g]))
+      b = mdl.geom_body[g]
+      anchor = mdl.body_pos[b]  # spinner body: world-fixed, jnt_pos 0
+      angle = jax.random.uniform(kt, (), q.dtype, -math.pi, math.pi)
+      state["target"] = jnp.stack([
+        float(anchor[0]) + radius * jnp.sin(angle),
+        float(anchor[2]) + radius * jnp.cos(angle),
+      ])
+    return state, cls._obs(cfg, state), dict(cls._DISCOUNT_INFO)
+
+  @classmethod
+  def step(cls, cfg: Any, state: Any, action: Any, key: jax.Array):
+    del key
+    mdl = cls.mdl(cfg)
+    ctrl = jnp.asarray(action, jnp.float32)
+    q, v, aux = de.step_smooth(
+      mdl, state["q"], state["v"], ctrl,
+      nstep=int(cfg.frame_skip), want_aux=True,
+    )
+    q_fwd, _, _, f_rows = aux
+    touch = site_touch_forces(
+      mdl, q_fwd, f_rows, ["touchtop_site", "touchbottom_site"]
+    )
+    state = {**state, "q": q, "v": v, "touch": touch}
+    obs = cls._obs(cfg, state)
+    if cls._is_spin(cfg):
+      reward = (v[2] <= -cls._SPIN_VELOCITY).astype(jnp.float32)
+    else:
+      reward = (obs["dist_to_target"] <= 0).astype(jnp.float32)
+    return state, obs, reward, jnp.bool_(False), dict(cls._DISCOUNT_INFO)
+
+
 def _point_normal_forces(cd, f_rows):
   """Per-candidate-point contact normal force [P] from the solved efc
   row forces (row layout mirrors assemble_rows: limits, condim-1 points,
@@ -775,14 +943,18 @@ def _point_normal_forces(cd, f_rows):
 
 def site_touch_forces(mdl, q, f_rows, site_names):
   """mj touch sensors (mjSENS_TOUCH): per site, the sum of contact
-  normal forces whose point lies inside the (sphere) site zone and whose
-  pair involves the site's body. ``q``/``f_rows`` are the last forward
-  evaluation's state and efc forces from ``step_smooth(want_aux=True)``
-  — exactly the state mjData's sensordata was computed at."""
+  normal forces for contacts on the site's body whose RAY — cast from
+  the contact point along the contact normal oriented toward that body
+  — intersects the (sphere) site zone (mj's ``mju_rayGeom`` test, not
+  point-in-sphere: a contact just outside the zone still registers when
+  its normal line passes through it). ``q``/``f_rows`` are the last
+  forward evaluation's state and efc forces from
+  ``step_smooth(want_aux=True)`` — exactly the state mjData's
+  sensordata was computed at."""
   from .. import device_collision as dc
   cd = mdl.contacts
   xpos, xmat, _, _ = de.fk(mdl, q)
-  pos = dc.contact_points(cd, xpos, xmat, q.dtype)[0]
+  pos, _, n, _, _, _ = dc.contact_points(cd, xpos, xmat, q.dtype)
   normal = _point_normal_forces(cd, f_rows)
   out = []
   for name in site_names:
@@ -790,9 +962,16 @@ def site_touch_forces(mdl, q, f_rows, site_names):
     b = mdl.site_body[s]
     center = xpos[b] + xmat[b] @ jnp.asarray(mdl.site_pos[s], q.dtype)
     radius = float(mdl.site_size[s, 0])
-    on_body = jnp.asarray((cd.point_b1 == b) | (cd.point_b2 == b))
-    inside = jnp.linalg.norm(pos - center[None, :], axis=1) <= radius
-    out.append(jnp.where(on_body & inside, normal, 0.0).sum())
+    on_b1 = jnp.asarray(cd.point_b1 == b)
+    on_body = on_b1 | jnp.asarray(cd.point_b2 == b)
+    # normals point body1 -> body2; flip so the ray points INTO the
+    # site's body (mj orients conray toward the sensor body)
+    ray = jnp.where(on_b1[:, None], -n, n)
+    pc = pos - center[None, :]
+    bq = jnp.sum(ray * pc, axis=1)
+    cc = jnp.sum(pc * pc, axis=1) - radius * radius
+    hit = (cc <= 0) | ((bq <= 0) & (bq * bq >= cc))
+    out.append(jnp.where(on_body & hit, normal, 0.0).sum())
   return jnp.stack(out)
 
 
@@ -865,8 +1044,14 @@ class DmcHopperJaxEnv(DmcDeviceEnv):
       )
       reward = standing * hop
     else:
+      # reference reads the ctrlrange-clamped data_->ctrl (hopper.h:125)
+      clamped = jnp.clip(
+        ctrl,
+        jnp.asarray(mdl.ctrl_range[:, 0], ctrl.dtype),
+        jnp.asarray(mdl.ctrl_range[:, 1], ctrl.dtype),
+      )
       small_control = (
-        jnp.mean(tolerance(ctrl, 0.0, 0.0, 1.0, 0.0, QUADRATIC)) + 4
+        jnp.mean(tolerance(clamped, 0.0, 0.0, 1.0, 0.0, QUADRATIC)) + 4
       ) / 5
       reward = standing * small_control
     return state, cls._obs(cfg, state), reward, jnp.bool_(False), dict(
@@ -990,7 +1175,11 @@ class DmcCheetahJaxEnv(DmcDeviceEnv):
   def reset(cls, cfg: Any, state: Any, key: jax.Array):
     mdl = cls.mdl(cfg)
     q, v = cls._reset_qv(cfg)
-    q = randomize_limited_and_rotational_joints(mdl, q, key)
+    # cheetah.h:83-98 randomizes LIMITED joints only; the unlimited
+    # rootx/rootz/rooty stay 0 (torso level) before the 200-step settle.
+    q = randomize_limited_and_rotational_joints(
+      mdl, q, key, limited_only=True
+    )
     # settle: 200 passive steps (ctrl = 0), one scanned engine substep
     q, v = de.step_smooth(
       mdl, q, v, jnp.zeros(len(mdl.act_dof), q.dtype),

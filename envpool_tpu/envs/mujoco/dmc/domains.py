@@ -754,7 +754,7 @@ class DmcSwimmerEnv(DmcEnv):
     self.n_bodies = {"swimmer6": 6, "swimmer15": 15}[self.task_name]
     mujoco = self._mujoco
     self.id_nose = self.geom_id("nose")
-    self.id_head_geom = self.geom_id("head_geom")
+    self.id_head_body = self.body_id("head")
     self.id_target = self.geom_id("target")
     self.id_light = mujoco.mj_name2id(
       self.model, mujoco.mjtObj.mjOBJ_LIGHT, "target_light"
@@ -782,7 +782,11 @@ class DmcSwimmerEnv(DmcEnv):
       self.data.geom_xpos[self.id_target]
       - self.data.geom_xpos[self.id_nose]
     )
-    xmat = self.data.geom_xmat[self.id_head_geom].reshape(3, 3)
+    # dm_control rotates into the HEAD frame via data.xmat['head']; in
+    # its asset the "head" geom has identity orientation so swimmer.h's
+    # geom_xmat read is the same frame — the replica's head_geom capsule
+    # is fromto-rotated, so the body xmat is the faithful choice here.
+    xmat = self.data.xmat[self.id_head_body].reshape(3, 3)
     return (xmat.T @ d)[:2]
 
   def task_get_reward(self) -> float:

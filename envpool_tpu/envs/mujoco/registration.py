@@ -122,6 +122,9 @@ dmc_device_envs = [
   ("cartpole", "two_poles", 1000),
   ("cartpole", "three_poles", 1000),
   ("cheetah", "run", 1000),
+  ("finger", "spin", 1000),
+  ("finger", "turn_easy", 1000),
+  ("finger", "turn_hard", 1000),
   ("fish", "upright", 1000),
   ("fish", "swim", 1000),
   ("swimmer", "swimmer6", 1000),

@@ -16,13 +16,26 @@ if "xla_force_host_platform_device_count" not in flags:
 # TPU); tests MUST run on the virtual CPU mesh, so force-override.
 os.environ["JAX_PLATFORMS"] = "cpu"
 
-# persistent compilation cache: repeated suite runs skip recompiling the
-# heavy physics programs (box2d walker etc.)
 import jax
 
 # jax may already be imported (e.g. by a pytest plugin), in which case it
 # latched JAX_PLATFORMS at import; update the config directly too (works
 # as long as no backend has been initialized yet).
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/envpool_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# Persistent compilation cache: enabled only inside @isolated subprocess
+# children (tests/_isolation.py) or when explicitly requested. This
+# jaxlib's CPU backend corrupts its process after one very large compile
+# — a second large compile OR a cache read in the same process then
+# SIGSEGV/SIGABRTs inside XLA — so the big device-physics programs are
+# compiled one-per-process and only those clean processes touch the
+# cache. bench.py keeps its own cache: the TPU executable path does not
+# exhibit the bug.
+if (
+  os.environ.get("ENVPOOL_TPU_ISOLATED_CHILD")
+  or os.environ.get("ENVPOOL_TPU_TEST_CACHE")
+):
+  jax.config.update(
+    "jax_compilation_cache_dir", "/tmp/envpool_tpu_jax_cache"
+  )
+  jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -21,6 +21,7 @@ import jax.numpy as jnp  # noqa: E402
 
 from envpool_tpu.envs.mujoco import device_collision as dc  # noqa: E402
 from envpool_tpu.envs.mujoco import device_engine as de  # noqa: E402
+from _isolation import isolated  # noqa: E402
 
 CONTACT_MODELS = ["half_cheetah.xml", "hopper.xml", "walker2d.xml",
                   "ant.xml"]
@@ -74,6 +75,7 @@ def _sorted_rows(J, aref, D):
 
 
 @pytest.mark.parametrize("xml", CONTACT_MODELS)
+@isolated
 def test_constraint_rows_match_efc(xml) -> None:
   """Active rows == mjData.efc rows: J/aref/D to ~1e-9."""
   with _x64():
@@ -108,6 +110,7 @@ def test_constraint_rows_match_efc(xml) -> None:
 
 
 @pytest.mark.parametrize("xml", CONTACT_MODELS)
+@isolated
 def test_qacc_and_constraint_force_match(xml) -> None:
   """Newton solve: qacc + qfrc_constraint vs mj_forward.
 
@@ -136,6 +139,7 @@ def test_qacc_and_constraint_force_match(xml) -> None:
       assert fe < 1e-4 * max(1.0, np.abs(d.qfrc_constraint).max())
 
 
+@isolated
 def test_includemargin_matches_mujoco() -> None:
   """Margins ADD across the geom pair (hopper: 0.001+0.001)."""
   mdl = de.extract_model(_asset("hopper.xml"))
@@ -160,6 +164,7 @@ def test_includemargin_matches_mujoco() -> None:
     ("half_cheetah.xml", 1e-4),
   ],
 )
+@isolated
 def test_100_step_contact_rollout_parity(xml, tol) -> None:
   with _x64():
     mdl = de.extract_model(_asset(xml))
@@ -183,6 +188,7 @@ def test_100_step_contact_rollout_parity(xml, tol) -> None:
     assert np.abs(np.asarray(q1) - d.qpos).max() < tol
 
 
+@isolated
 def test_limit_rows_match_efc_unclamped_timeconst() -> None:
   """Reacher (timestep 0.01 < solref tc): the un-clamped K/B branch.
 
@@ -223,6 +229,7 @@ def test_limit_rows_match_efc_unclamped_timeconst() -> None:
     ("AntJax-v4", "Ant-v4", 8, 10),
   ],
 )
+@isolated
 def test_contact_env_aligns_with_gymnasium(task, gym_id, adim, steps):
   """Force gymnasium into OUR reset state, step both with identical
   actions: obs/reward agree to f32-contact-rollout tolerance."""
@@ -267,6 +274,7 @@ def test_contact_env_aligns_with_gymnasium(task, gym_id, adim, steps):
       break
 
 
+@isolated
 def test_contact_tasks_through_pool() -> None:
   """Registry round-trip: reset/step through TpuEnvPool, finite outputs."""
   import envpool_tpu
@@ -285,6 +293,7 @@ def test_contact_tasks_through_pool() -> None:
 
 
 @pytest.mark.parametrize("xml", ["ant.xml", "hopper.xml", "half_cheetah.xml"])
+@isolated
 def test_warmstart_chain_parity(xml) -> None:
   """step_smooth(nstep=N) warm-chains solves like mjData.qacc_warmstart:
   one 60-substep chain tracks mj WITH warmstart (gym's real semantics)."""

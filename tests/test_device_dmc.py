@@ -22,6 +22,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from envpool_tpu.envs.mujoco.dmc import device_domains as dd  # noqa: E402
+from _isolation import isolated  # noqa: E402
 from envpool_tpu.envs.mujoco.dmc import domains as hd  # noqa: E402
 
 
@@ -159,6 +160,7 @@ def test_point_mass_parity_tendon_mixing() -> None:
         assert abs(float(r_dev) - r_host) < 1e-6
 
 
+@isolated
 def test_cheetah_parity_through_contacts() -> None:
   """cheetah run: obs/reward parity through plane contacts (30 steps)."""
   with jax.enable_x64(True):
@@ -188,6 +190,7 @@ def test_cheetah_parity_through_contacts() -> None:
       assert abs(float(r_dev) - r_host) < 1e-6, f"cheetah reward step {t}"
 
 
+@isolated
 def test_walker_parity_through_contacts() -> None:
   """walker stand/walk: obs/reward parity with feet on the plane."""
   with jax.enable_x64(True):
@@ -218,6 +221,7 @@ def test_walker_parity_through_contacts() -> None:
         assert abs(float(r_dev) - r_host) < 1e-6
 
 
+@isolated
 def test_hopper_parity_and_touch() -> None:
   """hopper stand/hop: obs (incl. log1p touch) and reward parity."""
   with jax.enable_x64(True):
@@ -252,6 +256,183 @@ def test_hopper_parity_and_touch() -> None:
         assert abs(float(r_dev) - r_host) < 1e-6
         touched += float(np.asarray(obs_d["touch"]).sum())
       assert touched > 0.0, "touch sensors never activated"
+
+
+@isolated
+def test_swimmer_parity_both_sizes() -> None:
+  """swimmer6/swimmer15: velocimeter+gyro obs and LONG_TAIL reward parity
+  (free planar root in the viscous medium)."""
+  with jax.enable_x64(True):
+    for task, nlinks in (("swimmer6", 6), ("swimmer15", 15)):
+      cfg = _cfg(task, frame_skip=5)
+      mdl = dd.DmcSwimmerJaxEnv.mdl(cfg)
+      host = _host(hd.DmcSwimmerEnv, task)
+      host.n_sub_steps = 5
+      rng = np.random.default_rng(19)
+      target = rng.uniform(-1.0, 1.0, 2)
+      host.model.geom_pos[host.id_target, :2] = target
+      q = np.array(mdl.init_qpos, np.float64)
+      q[:2] += rng.uniform(-0.2, 0.2, 2)
+      q[2] = rng.uniform(-math.pi, math.pi)
+      q[3:] += rng.uniform(-0.5, 0.5, mdl.nq - 3)
+      v = 0.1 * rng.uniform(-1.0, 1.0, mdl.nv)
+      state = {
+        "q": jnp.asarray(q), "v": jnp.asarray(v),
+        "target": jnp.asarray(target),
+      }
+      _force_host(host, q, v)
+      key = jax.random.PRNGKey(0)
+      adim = nlinks - 1
+      for t in range(15):
+        act = 0.6 * np.sin(0.19 * t + np.arange(adim, dtype=np.float64))
+        r_host, _ = host.control_step(act)
+        state, obs_d, r_dev, _, _ = dd.DmcSwimmerJaxEnv.step(
+          cfg, state, jnp.asarray(act), key
+        )
+        obs_h = host.task_observation()
+        np.testing.assert_allclose(
+          _flat(obs_d), _flat(obs_h), atol=1e-6,
+          err_msg=f"swimmer {task} obs step {t}",
+        )
+        assert abs(float(r_dev) - r_host) < 1e-6, f"{task} reward step {t}"
+
+
+@isolated
+def test_fish_parity_both_tasks() -> None:
+  """fish upright/swim: quaternion free root in the zero-gravity viscous
+  medium — joint_angles/upright/velocity/target obs + reward parity."""
+  with jax.enable_x64(True):
+    for task in ("upright", "swim"):
+      cfg = _cfg(task, frame_skip=5)
+      mdl = dd.DmcFishJaxEnv.mdl(cfg)
+      host = _host(hd.DmcFishEnv, task)
+      host.n_sub_steps = 5
+      rng = np.random.default_rng(23)
+      target = np.array([0.2, -0.15, 0.18])
+      host.model.geom_pos[host.id_target] = target
+      q = np.array(mdl.init_qpos, np.float64)
+      quat = rng.normal(0, 1, 4)
+      q[3:7] = quat / np.linalg.norm(quat)
+      q[7:] += rng.uniform(-0.2, 0.2, mdl.nq - 7)
+      v = 0.05 * rng.uniform(-1.0, 1.0, mdl.nv)
+      state = {
+        "q": jnp.asarray(q), "v": jnp.asarray(v),
+        "target": jnp.asarray(target),
+      }
+      _force_host(host, q, v)
+      key = jax.random.PRNGKey(0)
+      for t in range(15):
+        act = 0.5 * np.sin(0.29 * t + np.arange(5, dtype=np.float64))
+        r_host, _ = host.control_step(act)
+        state, obs_d, r_dev, _, _ = dd.DmcFishJaxEnv.step(
+          cfg, state, jnp.asarray(act), key
+        )
+        obs_h = host.task_observation()
+        np.testing.assert_allclose(
+          _flat(obs_d), _flat(obs_h), atol=1e-6,
+          err_msg=f"fish {task} obs step {t}",
+        )
+        assert abs(float(r_dev) - r_host) < 1e-6, f"fish {task} step {t}"
+
+
+@isolated
+def test_finger_parity_all_tasks() -> None:
+  """finger spin/turn: obs (incl. log1p touch), capsule-capsule contact
+  response and threshold rewards match the host tier. The start state
+  puts the fingertip against the spinner so contacts actually fire."""
+  with jax.enable_x64(True):
+    for task in ("spin", "turn_easy", "turn_hard"):
+      cfg = _cfg(task, frame_skip=2)
+      mdl = dd.DmcFingerJaxEnv.mdl(cfg)
+      host = _host(hd.DmcFingerEnv, task)
+      host.n_sub_steps = 2
+      if task == "spin":
+        # device bakes the spin damping mutation into the model; apply
+        # the same mutation to the host (its task_initialize_episode
+        # would do this on reset). The target site stays at its default
+        # pos/size for spin in both tiers.
+        host.model.dof_damping[host.id_hinge_dof] = 0.03
+        target = np.array(host.model.site_pos[host.id_site_target])[[0, 2]]
+      else:
+        target = np.array(
+          [0.2 + 0.15 * math.sin(1.0), 0.4 + 0.15 * math.cos(1.0)]
+        )
+        host.model.site_pos[host.id_site_target, 0] = target[0]
+        host.model.site_pos[host.id_site_target, 2] = target[1]
+        host.model.site_size[host.id_site_target, 0] = (
+          dd.DmcFingerJaxEnv._target_size(cfg)
+        )
+      # fingertip pressed on the spinner inside the touchbottom site
+      # zone (single shallow contact — the degenerate axes-crossing
+      # depth makes mj's contact normal arbitrary, so tests stay in the
+      # physical regime)
+      q = np.array([-0.875, 0.197, 1.6])
+      v = np.array([0.0, 0.0, 0.0])
+      state = {
+        "q": jnp.asarray(q), "v": jnp.asarray(v),
+        "touch": jnp.zeros(2, np.float64),
+        "target": jnp.asarray(target),
+      }
+      _force_host(host, q, v)
+      key = jax.random.PRNGKey(0)
+      touched = 0.0
+      spun = 0.0
+      for t in range(30):
+        act = np.array([0.9 * math.sin(0.25 * t), -0.8])
+        r_host, _ = host.control_step(act)
+        state, obs_d, r_dev, _, _ = dd.DmcFingerJaxEnv.step(
+          cfg, state, jnp.asarray(act), key
+        )
+        obs_h = host.task_observation()
+        np.testing.assert_allclose(
+          _flat(obs_d), _flat(obs_h), atol=2e-5,
+          err_msg=f"finger {task} obs step {t}",
+        )
+        assert abs(float(r_dev) - r_host) < 1e-6, f"finger {task} step {t}"
+        touched += float(np.asarray(obs_d["touch"]).sum())
+        spun += abs(float(np.asarray(state["v"])[2]))
+      assert touched > 0.0, f"finger {task}: touch sensors never fired"
+      assert spun > 1e-3, f"finger {task}: spinner never moved"
+
+
+@isolated
+def test_cheetah_reset_limited_joints_only() -> None:
+  """cheetah episode init randomizes only LIMITED joints
+  (cheetah.h:83-98): the unlimited rootx/rootz/rooty stay 0 before the
+  settle, and post-settle torso pitch matches the host tier's regime."""
+  with jax.enable_x64(True):
+    cfg = _cfg("run")
+    mdl = dd.DmcCheetahJaxEnv.mdl(cfg)
+    q0 = jnp.asarray(mdl.init_qpos, jnp.float64)
+    # pre-settle draw: unlimited root dofs untouched, limited in range
+    for seed in range(8):
+      q = dd.randomize_limited_and_rotational_joints(
+        mdl, q0, jax.random.PRNGKey(seed), limited_only=True
+      )
+      qn = np.asarray(q)
+      assert qn[0] == 0.0 and qn[1] == 0.0 and qn[2] == 0.0
+      for j, jt in enumerate(mdl.jnt_type):
+        if mdl.jnt_limited[j]:
+          lo, hi = mdl.jnt_range[j]
+          qa = mdl.jnt_qadr[j]
+          assert lo - 1e-9 <= qn[qa] <= hi + 1e-9
+    # post-settle: torso must not start inverted (the pre-fix uniform
+    # rooty in (-pi, pi) leaves ~half the episodes upside down)
+    keys = jax.random.split(jax.random.PRNGKey(42), 16)
+    reset1 = jax.jit(
+      lambda k: dd.DmcCheetahJaxEnv.reset(cfg, None, k)[0]["q"]
+    )
+    qs = np.stack([np.asarray(reset1(k)) for k in keys])
+    host = _host(hd.DmcCheetahEnv, "run")
+    host_pitch = []
+    for _ in range(16):
+      host.reset()
+      host_pitch.append(float(host.data.qpos[2]))
+    bound = max(np.abs(host_pitch).max() * 2.0, 1.2)
+    assert np.abs(qs[:, 2]).max() < bound, (
+      f"device cheetah settles to |rooty| {np.abs(qs[:, 2]).max():.2f}, "
+      f"host regime {np.abs(host_pitch).max():.2f}"
+    )
 
 
 def test_device_reset_statistics() -> None:

@@ -20,6 +20,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from envpool_tpu.envs.mujoco import device_engine as de  # noqa: E402
+from _isolation import isolated  # noqa: E402
 
 
 def _asset(n):
@@ -45,6 +46,7 @@ def _rand_state(m, rng, zlo=0.4, zhi=1.4):
   return q, rng.uniform(-1, 1, m.nv)
 
 
+@isolated
 def test_com_quantities_match_mjdata() -> None:
   """cinert/cvel/subtree_com[0] element-exact vs mjData."""
   with _x64():
@@ -67,6 +69,7 @@ def test_com_quantities_match_mjdata() -> None:
       assert np.abs(np.asarray(cvel) - d.cvel).max() < 1e-11
 
 
+@isolated
 def test_cfrc_ext_matches_rne_post_constraint() -> None:
   """Contact-wrench accumulation vs mj_rnePostConstraint's cfrc_ext
   (world body excluded; torque about subtree_com[0])."""
@@ -98,6 +101,7 @@ def test_cfrc_ext_matches_rne_post_constraint() -> None:
     assert ncon > 10
 
 
+@isolated
 def test_100_step_rollout_parity_humanoidstandup() -> None:
   """Standup starts lying on the floor: contacts from step one.
 
@@ -131,6 +135,7 @@ def test_100_step_rollout_parity_humanoidstandup() -> None:
     ("HumanoidStandupJax-v4", "HumanoidStandup-v4"),
   ],
 )
+@isolated
 def test_humanoid_env_aligns_with_gymnasium(task, gym_id) -> None:
   """Force gymnasium into OUR reset state; 376-dim obs + reward agree
   per step (cfrc block compared at force scale)."""
@@ -172,6 +177,7 @@ def test_humanoid_env_aligns_with_gymnasium(task, gym_id) -> None:
       break
 
 
+@isolated
 def test_humanoid_through_pool() -> None:
   import envpool_tpu
 

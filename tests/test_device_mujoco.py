@@ -18,6 +18,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from envpool_tpu.envs.mujoco import device_engine as de  # noqa: E402
+from _isolation import isolated  # noqa: E402
 
 MODELS = ["reacher.xml", "inverted_pendulum.xml",
           "inverted_double_pendulum.xml", "swimmer.xml"]
@@ -34,6 +35,7 @@ def _x64():
 
 
 @pytest.mark.parametrize("xml", MODELS)
+@isolated
 def test_mass_matrix_and_bias_match_mujoco(xml) -> None:
   """CRB mass matrix and RNE bias forces match mj_fullM / qfrc_bias."""
   with _x64():
@@ -56,6 +58,7 @@ def test_mass_matrix_and_bias_match_mujoco(xml) -> None:
 
 
 @pytest.mark.parametrize("xml", MODELS)
+@isolated
 def test_single_step_matches_mj_step(xml) -> None:
   """One mj_step (RK4, smooth regime): qpos/qvel parity to ~1e-14."""
   with _x64():
@@ -78,6 +81,7 @@ def test_single_step_matches_mj_step(xml) -> None:
       assert np.abs(np.asarray(v1) - d.qvel).max() < 1e-12
 
 
+@isolated
 def test_limit_constraint_force_matches_mujoco() -> None:
   """Rail-limit violation: qfrc_constraint parity to <1e-3 relative.
 
@@ -106,6 +110,7 @@ def test_limit_constraint_force_matches_mujoco() -> None:
     assert qfrc[0] < -100  # rail pushes the cart back hard
 
 
+@isolated
 def test_100_step_rollout_parity_inverted_double_pendulum() -> None:
   """100 constraint-free steps: trajectory parity at machine precision."""
   with _x64():
@@ -131,6 +136,7 @@ def test_100_step_rollout_parity_inverted_double_pendulum() -> None:
     assert np.abs(np.asarray(v1) - d.qvel).max() < 1e-9
 
 
+@isolated
 def test_300_step_rollout_through_limit_events() -> None:
   """Reacher under persistent torque drives joint1 into its +-3 limit;
 
@@ -173,6 +179,7 @@ def _force_gym_state(env, q, v):
     ("SwimmerJax-v4", "Swimmer-v4", 2),
   ],
 )
+@isolated
 def test_env_obs_and_reward_align_with_gymnasium(task, gym_id, adim) -> None:
   """Force gymnasium into OUR reset state; step both 20x with the same
   actions; obs and rewards agree to f32-rollout tolerance."""
@@ -211,6 +218,7 @@ def test_env_obs_and_reward_align_with_gymnasium(task, gym_id, adim) -> None:
   assert max_obs_err < 5e-2, max_obs_err
 
 
+@isolated
 def test_device_mujoco_through_pool_deterministic() -> None:
   """Same seed => identical trajectories through the full pool API."""
   import envpool_tpu
@@ -232,6 +240,7 @@ def test_device_mujoco_through_pool_deterministic() -> None:
   assert np.array_equal(a, b)
 
 
+@isolated
 def test_unsupported_models_raise(tmp_path) -> None:
   """Out-of-scope geoms (box) are rejected with a clear error;
   pusher (cylinder), ant and humanoid extract."""
@@ -250,6 +259,7 @@ def test_unsupported_models_raise(tmp_path) -> None:
   assert de.extract_model(_asset("humanoid.xml")).contacts is not None
 
 
+@isolated
 def test_fluid_force_matches_qfrc_passive() -> None:
   """Inertia-box fluid model (swimmer: density=4000, viscosity=0.1)
   matches MuJoCo's qfrc_passive minus the damping part exactly."""
@@ -271,6 +281,7 @@ def test_fluid_force_matches_qfrc_passive() -> None:
       assert np.abs(ours - fluid_ref).max() < 1e-12 * scale
 
 
+@isolated
 def test_100_step_rollout_parity_swimmer() -> None:
   """100 RK4 steps through the fluid model: machine-precision parity.
 

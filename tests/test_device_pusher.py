@@ -32,6 +32,7 @@ import jax.numpy as jnp  # noqa: E402
 import envpool_tpu  # noqa: E402
 from envpool_tpu.envs.mujoco import device_collision as dc  # noqa: E402
 from envpool_tpu.envs.mujoco import device_engine as de  # noqa: E402
+from _isolation import isolated  # noqa: E402
 
 
 def _asset(n):
@@ -84,6 +85,7 @@ def _assert_rows_match(mdl, m, d, q, v, tol):
   assert np.abs(D1 / np.maximum(D2, 1e-30) - 1).max() < tol
 
 
+@isolated
 def test_pusher_extraction() -> None:
   """Pusher extracts: 3 plane-capsule pairs, 1 plane-cylinder (4
   candidates), 3 capsule-cylinder, 11 joint limits, all condim-1."""
@@ -97,6 +99,7 @@ def test_pusher_extraction() -> None:
   assert np.all(cd.point_condim == 1)
 
 
+@isolated
 def test_plane_cylinder_rows_match_efc(tmp_path) -> None:
   """All three mjc_PlaneCylinder regimes (face/edge/side) produce the
   same active rows as mjData.efc over random free-body poses."""
@@ -118,6 +121,7 @@ def test_plane_cylinder_rows_match_efc(tmp_path) -> None:
       _assert_rows_match(mdl, m, d, q, v, 1e-8)
 
 
+@isolated
 def test_pusher_rows_match_efc() -> None:
   """Full Pusher model: arm-random states produce mj's exact efc rows
   (plane-capsule, plane-cylinder, joint limits; 4.6e-13 measured)."""
@@ -146,6 +150,7 @@ def _grounded_arm_pose(m, d, rng):
       return q
 
 
+@isolated
 def test_pusher_rollout_parity_no_finger_contact() -> None:
   """100 control steps (500 mj substeps) from qpos0 with a moving arm:
   machine-precision parity while only plane contacts are active."""
@@ -172,6 +177,7 @@ def test_pusher_rollout_parity_no_finger_contact() -> None:
     assert np.abs(np.asarray(vj) - d.qvel).max() < 1e-10
 
 
+@isolated
 def test_pusher_finger_object_contact_bounded_drift() -> None:
   """Sustained finger-object (capsule-cylinder) contact: mj>=3's
   multi-point native-CCD vs this engine's single MPR-style contact
@@ -219,6 +225,7 @@ def test_pusher_finger_object_contact_bounded_drift() -> None:
     assert contact_steps > 0  # the scenario must actually exercise CCD
 
 
+@isolated
 def test_pusher_jax_through_pool() -> None:
   """PusherJax-v4 steps through TpuEnvPool: spec, shapes, reward sign,
   and the reset rejection region (hypot(obj xy) > 0.17)."""
