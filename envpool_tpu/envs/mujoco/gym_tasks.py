@@ -16,6 +16,7 @@ registered as both -v3 and -v4 like ``envpool/mujoco/gym/registration.py``.
 
 from __future__ import annotations
 
+import math
 import os
 from typing import Any, Dict
 
@@ -139,6 +140,16 @@ class AntEnv(MujocoGymEnv):
     self.id_torso = self._mujoco.mj_name2id(
       self.model, self._mujoco.mjtObj.mjOBJ_XBODY, "torso"
     )
+    # hot-path constants hoisted off the per-step path (the host tier
+    # is GIL-bound between mj_step calls; every boxed float counts)
+    self._w_fwd = float(cfg.forward_reward_weight)
+    self._w_ctrl = float(cfg.ctrl_cost_weight)
+    self._w_contact = float(cfg.contact_cost_weight)
+    self._w_healthy = float(cfg.healthy_reward)
+    self._z_min = float(cfg.healthy_z_min)
+    self._z_max = float(cfg.healthy_z_max)
+    self._term_unhealthy = bool(cfg.terminate_when_unhealthy)
+    self._use_cfrc = bool(cfg.use_contact_force)
 
   def reset_model(self) -> None:
     s = float(self.cfg.reset_noise_scale)
@@ -147,11 +158,11 @@ class AntEnv(MujocoGymEnv):
 
   def _healthy(self) -> bool:
     z = self.data.qpos[2]
-    return bool(
-      float(self.cfg.healthy_z_min) <= z <= float(self.cfg.healthy_z_max)
-      and np.isfinite(self.data.qpos).all()
-      and np.isfinite(self.data.qvel).all()
-    )
+    # one-pass finiteness: the sum is non-finite iff any element is
+    # (inf+(-inf)=nan, nan propagates) — replaces two full
+    # isfinite().all() reductions on the hot path
+    chk = float(self.data.qpos.sum() + self.data.qvel.sum())
+    return self._z_min <= z <= self._z_max and math.isfinite(chk)
 
   def _obs(self) -> np.ndarray:
     start = 2 if self.cfg.exclude_current_positions_from_observation else 0
@@ -164,13 +175,14 @@ class AntEnv(MujocoGymEnv):
     return np.concatenate(parts)
 
   def _info(self, xv=0.0, yv=0.0, ctrl=0.0, contact=0.0, survive=0.0):
-    x, y = self.data.xpos[self.id_torso, 0], self.data.xpos[self.id_torso, 1]
+    xy = self.data.xpos[self.id_torso]
+    x, y = float(xy[0]), float(xy[1])
     return {
-      "reward_forward": xv * float(self.cfg.forward_reward_weight),
+      "reward_forward": xv * self._w_fwd,
       "reward_ctrl": -ctrl, "reward_contact": -contact,
       "reward_survive": survive,
       "x_position": x, "y_position": y,
-      "distance_from_origin": float(np.hypot(x, y)),
+      "distance_from_origin": math.hypot(x, y),
       "x_velocity": xv, "y_velocity": yv,
     }
 
@@ -179,28 +191,25 @@ class AntEnv(MujocoGymEnv):
     return self._obs(), self._info()
 
   def step(self, action):
-    cfg = self.cfg
-    xy_before = np.copy(self.data.xpos[self.id_torso, :2])
+    xy = self.data.xpos[self.id_torso]
+    x0, y0 = float(xy[0]), float(xy[1])
     self.mujoco_step(action)
-    xy_after = self.data.xpos[self.id_torso, :2]
-    xv, yv = (xy_after - xy_before) / self.dt
-    ctrl = float(cfg.ctrl_cost_weight) * float(np.sum(action * action))
+    xv = (float(xy[0]) - x0) / self.dt
+    yv = (float(xy[1]) - y0) / self.dt
+    ctrl = self._w_ctrl * float(np.dot(action, action))
     contact = 0.0
-    if cfg.use_contact_force:
+    if self._use_cfrc:
       x = np.clip(
         self.data.cfrc_ext.ravel(),
-        float(cfg.contact_force_min), float(cfg.contact_force_max),
+        float(self.cfg.contact_force_min), float(self.cfg.contact_force_max),
       )
-      contact = float(cfg.contact_cost_weight) * float(np.sum(x * x))
+      contact = self._w_contact * float(np.sum(x * x))
     healthy = self._healthy()
     survive = (
-      float(cfg.healthy_reward)
-      if (cfg.terminate_when_unhealthy or healthy) else 0.0
+      self._w_healthy if (self._term_unhealthy or healthy) else 0.0
     )
-    reward = (
-      xv * float(cfg.forward_reward_weight) + survive - ctrl - contact
-    )
-    term = bool(cfg.terminate_when_unhealthy) and not healthy
+    reward = xv * self._w_fwd + survive - ctrl - contact
+    term = self._term_unhealthy and not healthy
     return self._obs(), reward, term, self._info(xv, yv, ctrl, contact,
                                                  survive)
 
