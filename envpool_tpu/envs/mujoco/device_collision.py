@@ -66,6 +66,7 @@ from .device_engine import precise_matmul
 
 # mjtGeom enum values (mujoco/mjmodel.h)
 _GEOM_PLANE, _GEOM_SPHERE, _GEOM_CAPSULE, _GEOM_CYLINDER = 0, 2, 3, 5
+_GEOM_BOX = 6
 
 
 class ContactData(NamedTuple):
@@ -92,6 +93,16 @@ class ContactData(NamedTuple):
   # analytic closest-point candidate each
   cyc_cap: Tuple[int, ...]     # [n_cyc]
   cyc_cyl: Tuple[int, ...]     # [n_cyc]
+  # plane-box pairs: EIGHT corner candidates each (mjc_PlaneBox emits
+  # the below-margin corners in the same enumeration order)
+  pb_plane: Tuple[int, ...]    # [n_pb]
+  pb_box: Tuple[int, ...]      # [n_pb]
+  # sphere/capsule-box pairs (sphere/capsule first, mj type order):
+  # spheres contribute ONE closest-point candidate; capsules THREE
+  # (one per endpoint sphere + one golden-section mid-segment point)
+  sb_cap: Tuple[int, ...]      # [n_sb]
+  sb_box: Tuple[int, ...]      # [n_sb]
+  sb_three: Tuple[bool, ...]   # [n_sb] True -> capsule (3 candidates)
   # per candidate-point constants, aligned with the concatenation
   # [pc endpoints (1 or 2 per pair), cc points, pcy (4 per pair), cyc]
   point_b1: np.ndarray         # [P] int body of geom1
@@ -116,6 +127,19 @@ class ContactData(NamedTuple):
   lim_B: np.ndarray            # [L]
   lim_solimp: np.ndarray       # [L, 5]
   lim_diagA: np.ndarray        # [L] dof_invweight0
+  # limited spatial tendon rows (2-site tendons, e.g. ball_in_cup's
+  # string): one row per tendon, nearer-limit side selected at runtime
+  # like joint limits. efc order: after joint limits, before contacts.
+  ten_site_body: np.ndarray    # [T, 2] body id per endpoint site
+  ten_site_pos: np.ndarray     # [T, 2, 3] site offset in body frame
+  ten_lo: np.ndarray           # [T]
+  ten_hi: np.ndarray           # [T]
+  ten_margin: np.ndarray       # [T]
+  ten_K: np.ndarray            # [T]
+  ten_B: np.ndarray            # [T]
+  ten_solimp: np.ndarray       # [T, 5]
+  ten_diagA: np.ndarray        # [T] tendon_invweight0
+  ten_anc: np.ndarray          # [T, 2, nv] dof influences each endpoint
   nrows: int                   # total constraint rows
   # Newton solve depth: fitted per problem size — 6/6 converges the
   # planar models (nv<=9) to mj's optimum; wide free-root problems
@@ -146,8 +170,15 @@ def extract_contacts(m) -> ContactData:
   """
   if int(m.opt.cone) != 0:
     raise NotImplementedError("device engine supports pyramidal cones only")
-  if m.npair or m.nexclude:
-    raise NotImplementedError("explicit contact pairs/excludes unsupported")
+  if m.npair:
+    raise NotImplementedError("explicit <pair> contacts unsupported")
+  # <exclude> body pairs (mj_collision's signature filter): packed as
+  # (body1 << 16) + body2 in exclude_signature
+  excluded = set()
+  for e in range(m.nexclude):
+    sig = int(m.exclude_signature[e])
+    ba, bb = sig >> 16, sig & 0xFFFF
+    excluded.add((min(ba, bb), max(ba, bb)))
 
   nv = int(m.nv)
   timestep = float(m.opt.timestep)
@@ -170,6 +201,8 @@ def extract_contacts(m) -> ContactData:
       b1, b2 = int(gb[g1]), int(gb[g2])
       if b1 == b2:
         continue
+      if (min(b1, b2), max(b1, b2)) in excluded:
+        continue
       # parent-child filter (mj default filterparent; world parent exempt)
       if (int(m.body_parentid[b2]) == b1 and b1 != 0) or (
         int(m.body_parentid[b1]) == b2 and b2 != 0
@@ -182,7 +215,8 @@ def extract_contacts(m) -> ContactData:
       k1, k2 = int(m.geom_type[g1]), int(m.geom_type[g2])
       for k in (k1, k2):
         if k not in (
-          _GEOM_PLANE, _GEOM_SPHERE, _GEOM_CAPSULE, _GEOM_CYLINDER
+          _GEOM_PLANE, _GEOM_SPHERE, _GEOM_CAPSULE, _GEOM_CYLINDER,
+          _GEOM_BOX,
         ):
           raise NotImplementedError(
             f"geom type {k} unsupported by the device contact engine"
@@ -191,6 +225,10 @@ def extract_contacts(m) -> ContactData:
         continue
       if k1 == _GEOM_CYLINDER and k2 == _GEOM_CYLINDER:
         raise NotImplementedError("cylinder-cylinder contacts unsupported")
+      if _GEOM_BOX in (k1, k2) and (
+        min(k1, k2) == _GEOM_CYLINDER or k1 == k2
+      ):
+        raise NotImplementedError("cylinder-box/box-box unsupported")
       # order by geom type (mj_collideGeoms' type-sorted collision
       # table: plane first, sphere/capsule before cylinder; contact
       # normal then points geom1 -> geom2). Fresh names: rebinding the
@@ -240,6 +278,8 @@ def extract_contacts(m) -> ContactData:
   cc_g1, cc_g2 = [], []
   pcy_plane, pcy_cyl = [], []
   cyc_cap, cyc_cyl = [], []
+  pb_plane, pb_box = [], []
+  sb_cap, sb_box, sb_three = [], [], []
   pt = {k: [] for k in (
     "b1", "b2", "g1", "g2", "K", "B", "solimp", "inc", "diagA", "mu",
     "condim",
@@ -272,24 +312,42 @@ def extract_contacts(m) -> ContactData:
       pt["condim"].append(condim)
 
   for g1, g2, k1, k2 in pairs:
-    if k1 == _GEOM_PLANE and k2 == _GEOM_CYLINDER:
+    if k2 == _GEOM_BOX and k1 == _GEOM_PLANE:
+      pb_plane.append(g1)
+      pb_box.append(g2)
+    elif k2 == _GEOM_BOX:  # sphere/capsule (type-sorted first) vs box
+      sb_cap.append(g1)
+      sb_box.append(g2)
+      sb_three.append(k1 == _GEOM_CAPSULE)
+    elif k1 == _GEOM_PLANE and k2 == _GEOM_CYLINDER:
       pcy_plane.append(g1)
       pcy_cyl.append(g2)
-      _add_points(g1, g2, 4)
     elif k1 == _GEOM_PLANE:
-      two = k2 == _GEOM_CAPSULE
       pc_plane.append(g1)
       pc_cap.append(g2)
-      pc_two.append(two)
-      _add_points(g1, g2, 2 if two else 1)
+      pc_two.append(k2 == _GEOM_CAPSULE)
     elif k2 == _GEOM_CYLINDER:  # sphere/capsule (type-sorted first) vs cyl
       cyc_cap.append(g1)
       cyc_cyl.append(g2)
-      _add_points(g1, g2, 1)
     else:  # sphere/capsule vs sphere/capsule: one candidate point
       cc_g1.append(g1)
       cc_g2.append(g2)
-      _add_points(g1, g2, 1)
+
+  # the per-point constant table MUST follow contact_points' family
+  # segment order [pc, cc, pcy, cyc, pb, sb], not pair-enumeration
+  # order — models mixing families interleave them in `pairs`
+  for i, (gp, gc) in enumerate(zip(pc_plane, pc_cap)):
+    _add_points(gp, gc, 2 if pc_two[i] else 1)
+  for g1, g2 in zip(cc_g1, cc_g2):
+    _add_points(g1, g2, 1)
+  for gp, gc in zip(pcy_plane, pcy_cyl):
+    _add_points(gp, gc, 4)
+  for g1, g2 in zip(cyc_cap, cyc_cyl):
+    _add_points(g1, g2, 1)
+  for gp, gx in zip(pb_plane, pb_box):
+    _add_points(gp, gx, 8)
+  for i, (g1, g2) in enumerate(zip(sb_cap, sb_box)):
+    _add_points(g1, g2, 3 if sb_three[i] else 1)
 
   n_pts = len(pt["b1"])
   sgn = np.zeros((n_pts, nv))
@@ -317,7 +375,38 @@ def extract_contacts(m) -> ContactData:
     lim_solimp.append(np.asarray(m.jnt_solimp[j], np.float64))
     lim_diag.append(float(dof_iw[d]))
 
-  rows = len(lim_dof)
+  # limited 2-site spatial tendons (e.g. ball_in_cup's string): one
+  # nearest-side limit row each, efc-ordered after joint limits
+  _WRAP_SITE = 3  # mjtWrap
+  ten_body, ten_spos, ten_lo, ten_hi, ten_mar = [], [], [], [], []
+  ten_K, ten_B, ten_imp, ten_diag, ten_anc = [], [], [], [], []
+  for t in range(m.ntendon):
+    if not bool(m.tendon_limited[t]):
+      continue
+    adr, num = int(m.tendon_adr[t]), int(m.tendon_num[t])
+    wtypes = [int(m.wrap_type[adr + i]) for i in range(num)]
+    if num != 2 or any(w != _WRAP_SITE for w in wtypes):
+      raise NotImplementedError(
+        "only 2-site spatial tendon limits supported"
+      )
+    sites = [int(m.wrap_objid[adr + i]) for i in range(num)]
+    bodies = [int(m.site_bodyid[s]) for s in sites]
+    K, B = _kb(m.tendon_solref_lim[t], m.tendon_solimp_lim[t])
+    ten_body.append(bodies)
+    ten_spos.append([np.asarray(m.site_pos[s], np.float64) for s in sites])
+    ten_lo.append(float(m.tendon_range[t, 0]))
+    ten_hi.append(float(m.tendon_range[t, 1]))
+    ten_mar.append(float(m.tendon_margin[t]))
+    ten_K.append(K)
+    ten_B.append(B)
+    ten_imp.append(np.asarray(m.tendon_solimp_lim[t], np.float64))
+    ten_diag.append(float(m.tendon_invweight0[t]))
+    ten_anc.append([
+      [float(anc[dof_body[d]][b]) for d in range(nv)] for b in bodies
+    ])
+  n_ten = len(ten_body)
+
+  rows = len(lim_dof) + n_ten
   for c in pt["condim"]:
     rows += 2 * (c - 1) if c > 1 else 1
   deep = nv > 9 or rows > 70
@@ -339,6 +428,11 @@ def extract_contacts(m) -> ContactData:
     pcy_cyl=tuple(pcy_cyl),
     cyc_cap=tuple(cyc_cap),
     cyc_cyl=tuple(cyc_cyl),
+    pb_plane=tuple(pb_plane),
+    pb_box=tuple(pb_box),
+    sb_cap=tuple(sb_cap),
+    sb_box=tuple(sb_box),
+    sb_three=tuple(sb_three),
     point_b1=np.asarray(pt["b1"], np.int64),
     point_b2=np.asarray(pt["b2"], np.int64),
     point_g1=np.asarray(pt["g1"], np.int64),
@@ -364,6 +458,25 @@ def extract_contacts(m) -> ContactData:
       np.stack(lim_solimp) if lim_dof else np.zeros((0, 5))
     ),
     lim_diagA=np.asarray(lim_diag, np.float64),
+    ten_site_body=(
+      np.asarray(ten_body, np.int64) if n_ten else np.zeros((0, 2), np.int64)
+    ),
+    ten_site_pos=(
+      np.asarray(ten_spos, np.float64) if n_ten else np.zeros((0, 2, 3))
+    ),
+    ten_lo=np.asarray(ten_lo, np.float64),
+    ten_hi=np.asarray(ten_hi, np.float64),
+    ten_margin=np.asarray(ten_mar, np.float64),
+    ten_K=np.asarray(ten_K, np.float64),
+    ten_B=np.asarray(ten_B, np.float64),
+    ten_solimp=(
+      np.stack(ten_imp) if n_ten else np.zeros((0, 5))
+    ),
+    ten_diagA=np.asarray(ten_diag, np.float64),
+    ten_anc=(
+      np.asarray(ten_anc, np.float64) if n_ten
+      else np.zeros((0, 2, nv))
+    ),
     nrows=rows,
     newton_iters=8 if deep else 6,
     newton_ls=8 if deep else 6,
@@ -391,6 +504,55 @@ def _geom_pose(cd: ContactData, xpos, xmat, g: int, dtype):
   return gpos, grot
 
 
+def _point_box(c, size):
+  """Point vs solid box in the BOX frame.
+
+  Returns (surface point [3], signed distance, outward unit normal):
+  outside, the closest surface point (clamp) and the separation along
+  it; inside, the nearest face with negative distance — the exit
+  direction MPR-style depth reporting uses for a swept sphere.
+  """
+  import jax.numpy as jnp
+  q = jnp.abs(c) - size
+  out = jnp.maximum(q, 0.0)
+  od = jnp.sqrt(out @ out + 1e-30)
+  outside = jnp.max(q) > 0
+  cl = jnp.clip(c, -size, size)
+  n_out = (c - cl) / od
+  # inside: one-hot of the nearest face
+  qi = size - jnp.abs(c)
+  oh = (qi == jnp.min(qi)).astype(c.dtype)
+  oh = oh / jnp.sum(oh)  # ties split; realistic states have none
+  sgn = jnp.where(c >= 0, 1.0, -1.0).astype(c.dtype)
+  n_in = oh * sgn
+  face = c * (1.0 - oh) + oh * sgn * size
+  sdist = jnp.where(outside, od, -jnp.min(qi))
+  nrm = jnp.where(outside, n_out, n_in)
+  surf = jnp.where(outside, cl, face)
+  return surf, sdist, nrm
+
+
+def _point_box_v(c, size):
+  """Vectorized ``_point_box`` over [P, 3] points / [P, 3] box sizes."""
+  import jax.numpy as jnp
+  q = jnp.abs(c) - size
+  out = jnp.maximum(q, 0.0)
+  od = jnp.sqrt(jnp.sum(out * out, axis=1) + 1e-30)
+  outside = (jnp.max(q, axis=1) > 0)[:, None]
+  cl = jnp.clip(c, -size, size)
+  n_out = (c - cl) / od[:, None]
+  qi = size - jnp.abs(c)
+  oh = (qi == jnp.min(qi, axis=1, keepdims=True)).astype(c.dtype)
+  oh = oh / jnp.sum(oh, axis=1, keepdims=True)
+  sgn = jnp.where(c >= 0, 1.0, -1.0).astype(c.dtype)
+  n_in = oh * sgn
+  face = c * (1.0 - oh) + oh * sgn * size
+  sdist = jnp.where(outside[:, 0], od, -jnp.min(qi, axis=1))
+  nrm = jnp.where(outside, n_out, n_in)
+  surf = jnp.where(outside, cl, face)
+  return surf, sdist, nrm
+
+
 def _make_frame_tangents(n):
   """mju_makeFrame: t1 = normalize(cross(n, tmp)), t2 = cross(n, t1),
   tmp = +z when the normal is far from z else +y. Single normal [3]."""
@@ -401,6 +563,35 @@ def _make_frame_tangents(n):
   t1 = jnp.cross(n, tmp)
   t1 = t1 / jnp.sqrt(t1 @ t1 + 1e-30)
   return t1, jnp.cross(n, t1)
+
+
+def _make_frames_v(n):
+  """Vectorized mju_makeFrame over [P, 3] normals."""
+  import jax.numpy as jnp
+  ey = jnp.zeros_like(n).at[:, 1].set(1.0)
+  ez = jnp.zeros_like(n).at[:, 2].set(1.0)
+  tmp = jnp.where((jnp.abs(n[:, 2]) < 0.5)[:, None], ez, ey)
+  t1 = jnp.cross(n, tmp)
+  t1 = t1 / jnp.sqrt(jnp.sum(t1 * t1, axis=1) + 1e-30)[:, None]
+  return t1, jnp.cross(n, t1)
+
+
+def _geom_poses(cd: ContactData, xpos, xmat, geoms, dtype):
+  """Vectorized world poses for a static tuple of geom ids -> ([n,3],
+  [n,3,3]). The body gathers are static python indices (free at trace
+  time); the pose math is two batched einsums instead of per-geom ops —
+  the humanoid/CMU models have hundreds of candidate pairs and the
+  unrolled per-pair form dominated trace/compile time."""
+  import jax.numpy as jnp
+  bl = [int(cd.geom_body[g]) for g in geoms]
+  X = jnp.stack([xpos[b] for b in bl])
+  R = jnp.stack([xmat[b] for b in bl])
+  gs = np.asarray(geoms, np.int64)
+  gp = jnp.asarray(cd.geom_pos[gs], dtype)
+  gr = jnp.asarray(cd.geom_rotm[gs], dtype)
+  pos = X + jnp.einsum("nij,nj->ni", R, gp)
+  rot = jnp.einsum("nij,njk->nik", R, gr)
+  return pos, rot
 
 
 @precise_matmul
@@ -423,69 +614,91 @@ def contact_points(cd: ContactData, xpos, xmat, dtype):
   mjContact.frame.
   """
   import jax.numpy as jnp
+  # per-family BLOCK arrays (pos [k,3], dist [k], n, t1, t2, gate),
+  # concatenated at the end; the loop families below still build
+  # per-row lists (few candidates each) folded into one block
+  blocks = []
   pos_l, dist_l, n_l, t1_l, t2_l, gate_l = [], [], [], [], [], []
   _true = jnp.asarray(True)
 
-  for i, (gp, gc) in enumerate(zip(cd.pc_plane, cd.pc_cap)):
-    ppos, prot = _geom_pose(cd, xpos, xmat, gp, dtype)
-    n = prot[:, 2]  # plane normal = local +z
-    cpos, crot = _geom_pose(cd, xpos, xmat, gc, dtype)
-    r = float(cd.geom_size[gc, 0])
-    if cd.pc_two[i]:
-      hl = float(cd.geom_size[gc, 1])
-      axis = crot[:, 2]
-      ends = [cpos - hl * axis, cpos + hl * axis]
-      # tangent along the in-plane axis projection (mjc_PlaneCapsule)
-      proj = axis - (axis @ n) * n
-      pn = jnp.sqrt(proj @ proj)
-      mf1, _ = _make_frame_tangents(n)
-      t1 = jnp.where(pn > 1e-10, proj / jnp.maximum(pn, 1e-30), mf1)
-      t2 = jnp.cross(n, t1)
-    else:
-      ends = [cpos]
-      t1, t2 = _make_frame_tangents(n)
-    for e in ends:
-      dist = n @ (e - ppos) - r
-      pos_l.append(e - n * (r + 0.5 * dist))
-      dist_l.append(dist)
-      n_l.append(n)
-      t1_l.append(t1)
-      t2_l.append(t2)
-      gate_l.append(_true)
+  def _flush_rows():
+    if pos_l:
+      blocks.append((
+        jnp.stack(pos_l), jnp.stack(dist_l), jnp.stack(n_l),
+        jnp.stack(t1_l), jnp.stack(t2_l), jnp.stack(gate_l),
+      ))
+      for lst in (pos_l, dist_l, n_l, t1_l, t2_l, gate_l):
+        lst.clear()
 
-  for g1, g2 in zip(cd.cc_g1, cd.cc_g2):
-    p1, r1m = _geom_pose(cd, xpos, xmat, g1, dtype)
-    p2, r2m = _geom_pose(cd, xpos, xmat, g2, dtype)
-    r1, hl1 = float(cd.geom_size[g1, 0]), float(cd.geom_size[g1, 1])
-    r2, hl2 = float(cd.geom_size[g2, 0]), float(cd.geom_size[g2, 1])
-    if int(cd.geom_size[g1, 1] == 0):
-      hl1 = 0.0
-    a1, a2 = r1m[:, 2], r2m[:, 2]
-    # closest points between segments p1 +- hl1 a1, p2 +- hl2 a2
+  # ---- plane-capsule/sphere: vectorized over pairs, then candidate
+  # rows gathered by ONE static index (pair 0 endpoints, pair 1 ...)
+  if cd.pc_plane:
+    ppos, prot = _geom_poses(cd, xpos, xmat, cd.pc_plane, dtype)
+    n = prot[:, :, 2]                     # [np, 3] plane normal
+    cpos, crot = _geom_poses(cd, xpos, xmat, cd.pc_cap, dtype)
+    caps = np.asarray(cd.pc_cap, np.int64)
+    r = jnp.asarray(cd.geom_size[caps, 0], dtype)
+    two = np.asarray(cd.pc_two, bool)
+    hl = jnp.asarray(np.where(two, cd.geom_size[caps, 1], 0.0), dtype)
+    axis = crot[:, :, 2]
+    # tangent along the in-plane axis projection (mjc_PlaneCapsule);
+    # sphere pairs and near-vertical capsules use mju_makeFrame
+    proj = axis - jnp.sum(axis * n, axis=1)[:, None] * n
+    pn = jnp.sqrt(jnp.sum(proj * proj, axis=1))
+    mf1, _ = _make_frames_v(n)
+    use_proj = (pn > 1e-10)[:, None] & jnp.asarray(two)[:, None]
+    t1 = jnp.where(use_proj, proj / jnp.maximum(pn, 1e-30)[:, None], mf1)
+    t2 = jnp.cross(n, t1)
+    ends = jnp.stack([cpos - hl[:, None] * axis,
+                      cpos + hl[:, None] * axis], axis=1)  # [np, 2, 3]
+    dist2 = jnp.einsum("pi,pei->pe", n, ends - ppos[:, None, :]) - r[:, None]
+    pos2 = ends - n[:, None, :] * (r[:, None] + 0.5 * dist2)[:, :, None]
+    rows = np.asarray([
+      i * 2 + e
+      for i in range(len(cd.pc_plane))
+      for e in range(2 if two[i] else 1)
+    ])
+    pairs_of = rows // 2
+    npairs = len(cd.pc_plane)
+    blocks.append((
+      pos2.reshape(npairs * 2, 3)[rows],
+      dist2.reshape(npairs * 2)[rows],
+      n[pairs_of], t1[pairs_of], t2[pairs_of],
+      jnp.ones((len(rows),), bool),
+    ))
+
+  # ---- capsule-capsule (incl. spheres): fully vectorized over pairs
+  if cd.cc_g1:
+    p1, r1m = _geom_poses(cd, xpos, xmat, cd.cc_g1, dtype)
+    p2, r2m = _geom_poses(cd, xpos, xmat, cd.cc_g2, dtype)
+    gs1 = np.asarray(cd.cc_g1, np.int64)
+    gs2 = np.asarray(cd.cc_g2, np.int64)
+    r1 = jnp.asarray(cd.geom_size[gs1, 0], dtype)
+    r2 = jnp.asarray(cd.geom_size[gs2, 0], dtype)
+    hl1 = jnp.asarray(cd.geom_size[gs1, 1], dtype)
+    hl2 = jnp.asarray(cd.geom_size[gs2, 1], dtype)
+    a1 = r1m[:, :, 2]
+    a2 = r2m[:, :, 2]
     d12 = p2 - p1
-    A = a1 @ a1
-    Bq = a1 @ a2
-    C = a2 @ a2
-    D_ = a1 @ d12
-    E = a2 @ d12
+    A = jnp.sum(a1 * a1, axis=1)
+    Bq = jnp.sum(a1 * a2, axis=1)
+    C = jnp.sum(a2 * a2, axis=1)
+    D_ = jnp.sum(a1 * d12, axis=1)
+    E = jnp.sum(a2 * d12, axis=1)
     den = A * C - Bq * Bq
     s = jnp.where(jnp.abs(den) > 1e-12, (C * D_ - Bq * E) / den, 0.0)
     s = jnp.clip(s, -hl1, hl1)
     t = jnp.clip((Bq * s - E) / jnp.maximum(C, 1e-12), -hl2, hl2)
     s = jnp.clip((Bq * t + D_) / jnp.maximum(A, 1e-12), -hl1, hl1)
-    q1 = p1 + s * a1
-    q2 = p2 + t * a2
+    q1 = p1 + s[:, None] * a1
+    q2 = p2 + t[:, None] * a2
     diff = q2 - q1
-    sep = jnp.sqrt(diff @ diff + 1e-30)
-    n = diff / sep
+    sep = jnp.sqrt(jnp.sum(diff * diff, axis=1) + 1e-30)
+    n = diff / sep[:, None]
     dist = sep - r1 - r2
-    pos_l.append(q1 + n * (r1 + 0.5 * dist))
-    dist_l.append(dist)
-    n_l.append(n)
-    t1, t2 = _make_frame_tangents(n)
-    t1_l.append(t1)
-    t2_l.append(t2)
-    gate_l.append(_true)
+    pos = q1 + n * (r1 + 0.5 * dist)[:, None]
+    t1, t2 = _make_frames_v(n)
+    blocks.append((pos, dist, n, t1, t2, jnp.ones((len(cd.cc_g1),), bool)))
 
   # ---- plane-cylinder: 4 candidates per pair (mjc_PlaneCylinder regimes)
   c120, s120 = -0.5, float(np.sqrt(3.0) / 2.0)
@@ -538,12 +751,122 @@ def contact_points(cd: ContactData, xpos, xmat, dtype):
       t2_l.append(t2)
       gate_l.append(_true)
 
-  if not pos_l:
+  _flush_rows()
+
+  # ---- plane-box: 8 corner candidates per pair, vectorized
+  # (mjc_PlaneBox corner order: i&1 -> +x, i&2 -> +y, i&4 -> +z)
+  if cd.pb_plane:
+    ppos, prot = _geom_poses(cd, xpos, xmat, cd.pb_plane, dtype)
+    n = prot[:, :, 2]                                   # [npb, 3]
+    bpos, brot = _geom_poses(cd, xpos, xmat, cd.pb_box, dtype)
+    sz = cd.geom_size[np.asarray(cd.pb_box, np.int64)]  # [npb, 3]
+    corners_l = np.stack([
+      [(sz[p, 0] if i & 1 else -sz[p, 0]),
+       (sz[p, 1] if i & 2 else -sz[p, 1]),
+       (sz[p, 2] if i & 4 else -sz[p, 2])]
+      for p in range(len(cd.pb_box)) for i in range(8)
+    ]).reshape(len(cd.pb_box), 8, 3)
+    offs = jnp.einsum(
+      "pij,pcj->pci", brot, jnp.asarray(corners_l, dtype)
+    )                                                   # [npb, 8, 3]
+    corners = bpos[:, None, :] + offs
+    dist8 = jnp.einsum("pi,pci->pc", n, corners - ppos[:, None, :])
+    pos8 = corners - n[:, None, :] * (0.5 * dist8)[:, :, None]
+    # mjc_PlaneBox emits only the LOWER-half corners (corner offset
+    # projected on the plane normal <= 0) — at most 4 per box; upper
+    # corners within margin (tilted box) are skipped regardless of
+    # depth (pinned empirically: mj 3.10 drops the two shallow
+    # top-edge corners of a tilted resting foot)
+    lower = jnp.einsum("pci,pi->pc", offs, n) <= 0
+    t1, t2 = _make_frames_v(n)
+    npb = len(cd.pb_box)
+    rep = np.repeat(np.arange(npb), 8)
+    blocks.append((
+      pos8.reshape(npb * 8, 3), dist8.reshape(npb * 8),
+      n[rep], t1[rep], t2[rep], lower.reshape(npb * 8),
+    ))
+
+  # ---- sphere/capsule-box: closest-point candidates, vectorized over
+  # pairs (sphere: 1; capsule: endpoint spheres + ONE golden-section
+  # mid-segment point, shared batched fori_loop). mj >= 3 runs these
+  # pairs through native CCD which can emit multi-point manifolds; the
+  # masked-candidate set reproduces the single/dual-contact regimes,
+  # same deviation contract as the cylinder pairs above.
+  if cd.sb_cap:
+    from jax import lax
+    cpos, crot = _geom_poses(cd, xpos, xmat, cd.sb_cap, dtype)
+    bpos, brot = _geom_poses(cd, xpos, xmat, cd.sb_box, dtype)
+    caps = np.asarray(cd.sb_cap, np.int64)
+    boxes = np.asarray(cd.sb_box, np.int64)
+    three = np.asarray(cd.sb_three, bool)
+    r = jnp.asarray(cd.geom_size[caps, 0], dtype)
+    hl = jnp.asarray(np.where(three, cd.geom_size[caps, 1], 0.0), dtype)
+    sz = jnp.asarray(cd.geom_size[boxes], dtype)        # [ns, 3]
+    axis = crot[:, :, 2]
+
+    def sdist_s(s):
+      """Batched box SDF of capsule-axis points C(s) (box frames)."""
+      cw = cpos + s[:, None] * axis
+      c = jnp.einsum("pji,pj->pi", brot, cw - bpos)
+      qv = jnp.abs(c) - sz
+      out = jnp.maximum(qv, 0.0)
+      od = jnp.sqrt(jnp.sum(out * out, axis=1) + 1e-30)
+      inner = jnp.max(qv, axis=1)
+      return jnp.where(inner > 0, od, inner)
+
+    gr = (np.sqrt(5.0) - 1.0) / 2.0
+
+    def gs_body(_, band):
+      lo, hi = band
+      x1 = hi - gr * (hi - lo)
+      x2 = lo + gr * (hi - lo)
+      take_lo = sdist_s(x1) < sdist_s(x2)
+      return jnp.where(take_lo, lo, x1), jnp.where(take_lo, x2, hi)
+
+    lo, hi = lax.fori_loop(0, 48, gs_body, (-hl, hl))
+    s_mid = 0.5 * (lo + hi)
+    cands = jnp.stack([
+      cpos - hl[:, None] * axis,
+      cpos + hl[:, None] * axis,
+      cpos + s_mid[:, None] * axis,
+    ], axis=1)                                          # [ns, 3cand, 3]
+    cb = jnp.einsum(
+      "pji,pcj->pci", brot, cands - bpos[:, None, :]
+    )                                                   # box frame
+    surf, sdist, outward = _point_box_v(
+      cb.reshape(-1, 3), jnp.repeat(sz, 3, axis=0)
+    )
+    ns = len(cd.sb_cap)
+    surf = surf.reshape(ns, 3, 3)
+    sdist = sdist.reshape(ns, 3)
+    outward = outward.reshape(ns, 3, 3)
+    dist3 = sdist - r[:, None]
+    nrm3 = -jnp.einsum("pij,pcj->pci", brot, outward)   # g1 -> g2
+    ps = cands + nrm3 * r[:, None, None]
+    surf_w = bpos[:, None, :] + jnp.einsum("pij,pcj->pci", brot, surf)
+    pos3 = 0.5 * (ps + surf_w)
+    rows = np.asarray([
+      p * 3 + e
+      for p in range(ns)
+      for e in range(3 if three[p] else 1)
+    ])
+    nrm_f = nrm3.reshape(ns * 3, 3)[rows]
+    t1, t2 = _make_frames_v(nrm_f)
+    blocks.append((
+      pos3.reshape(ns * 3, 3)[rows], dist3.reshape(ns * 3)[rows],
+      nrm_f, t1, t2, jnp.ones((len(rows),), bool),
+    ))
+
+  _flush_rows()
+  if not blocks:
     z = jnp.zeros((0,), dtype)
     z3 = jnp.zeros((0, 3), dtype)
     return z3, z, z3, z3, z3, jnp.zeros((0,), bool)
-  return (jnp.stack(pos_l), jnp.stack(dist_l), jnp.stack(n_l),
-          jnp.stack(t1_l), jnp.stack(t2_l), jnp.stack(gate_l))
+  if len(blocks) == 1:
+    return blocks[0]
+  return tuple(
+    jnp.concatenate([b[k] for b in blocks], axis=0) for k in range(6)
+  )
 
 
 def _capsule_cylinder_points(cd: ContactData, xpos, xmat, dtype):
@@ -639,9 +962,14 @@ def _capsule_cylinder_points(cd: ContactData, xpos, xmat, dtype):
 
 
 def _impedance_v(solimp, x):
-  """Vectorized MuJoCo impedance d(x) over [P] with per-row solimp [P,5]."""
+  """Vectorized MuJoCo impedance d(x) over [P] with per-row solimp [P,5].
+
+  Endpoints clamped to [mjMINIMP, mjMAXIMP] = [1e-4, 0.9999] like
+  mj_assignImpedance (see device_engine._impedance)."""
   import jax.numpy as jnp
   d0, dmax, mid, power = solimp[:, 0], solimp[:, 1], solimp[:, 3], solimp[:, 4]
+  d0 = jnp.clip(d0, 1e-4, 0.9999)
+  dmax = jnp.clip(dmax, 1e-4, 0.9999)
   x = jnp.clip(x, 0.0, 1.0)
   a = 1.0 / mid ** (power - 1)
   b = 1.0 / (1.0 - mid) ** (power - 1)
@@ -697,6 +1025,52 @@ def assemble_rows(mdl, cd: ContactData, q, v, ctx):
     aref_l.append(aref)
     D_l.append(1.0 / R)
     mask_l.append(active)
+
+  # ---- tendon limits (2-site spatial tendons; efc order: after joint
+  # limits, before contacts). Row jacobian: dL/dq = u . (V(p2) a2 -
+  # V(p1) a1), nearer limit side picks the sign like joint limits.
+  T = cd.ten_site_body.shape[0]
+  if T:
+    Sm_t = jnp.stack(S)                      # [nv, 6]
+    for t in range(T):
+      ps = []
+      Jp = []
+      for e in range(2):
+        b = int(cd.ten_site_body[t, e])
+        p = xpos[b] + xmat[b] @ jnp.asarray(cd.ten_site_pos[t, e], dtype)
+        Vd = Sm_t[:, 3:] + jnp.cross(Sm_t[:, :3], p[None, :])  # [nv, 3]
+        anc_e = jnp.asarray(cd.ten_anc[t, e], dtype)            # [nv]
+        ps.append(p)
+        Jp.append(Vd * anc_e[:, None])
+      diff = ps[1] - ps[0]
+      length = jnp.sqrt(diff @ diff + 1e-30)
+      u = diff / length
+      dLdq = (Jp[1] - Jp[0]) @ u                                # [nv]
+      lo = jnp.asarray(cd.ten_lo[t], dtype)
+      hi = jnp.asarray(cd.ten_hi[t], dtype)
+      margin = jnp.asarray(cd.ten_margin[t], dtype)
+      dist_lo = length - lo
+      dist_hi = hi - length
+      use_lo = dist_lo < dist_hi
+      dist = jnp.where(use_lo, dist_lo, dist_hi)
+      sgn = jnp.where(use_lo, 1.0, -1.0).astype(dtype)
+      active = dist < margin
+      imp = _impedance_v(
+        jnp.asarray(cd.ten_solimp[t:t + 1], dtype),
+        jnp.abs(dist - margin)[None] / jnp.asarray(
+          cd.ten_solimp[t, 2], dtype
+        ),
+      )[0]
+      K = jnp.asarray(cd.ten_K[t], dtype)
+      Bc = jnp.asarray(cd.ten_B[t], dtype)
+      row = sgn * dLdq
+      vel = row @ v
+      aref_t = -Bc * vel - K * imp * (dist - margin)
+      R = (1.0 - imp) / imp * jnp.asarray(cd.ten_diagA[t], dtype)
+      J_l.append(row[None, :])
+      aref_l.append(aref_t[None])
+      D_l.append((1.0 / R)[None])
+      mask_l.append(active[None])
 
   # ---- contacts
   P = cd.point_b1.shape[0]
@@ -818,7 +1192,7 @@ def geom_normal_forces(cd: ContactData, f_rows, geoms):
   layout mirrors assemble_rows; rows whose candidate involves the geom
   contribute. Returns a [len(geoms)] array."""
   import jax.numpy as jnp
-  L = len(cd.lim_dof)
+  L = len(cd.lim_dof) + cd.ten_site_body.shape[0]  # rows before contacts
   one = np.where(cd.point_condim == 1)[0]
   pyr = np.where(cd.point_condim == 3)[0]
   P = cd.point_b1.shape[0]
@@ -855,7 +1229,7 @@ def contact_wrenches(cd: ContactData, mdl, q, v, ctx, f_rows, nbody: int):
   if not P:
     return out
   pos, dist, n, t1, t2, _ = contact_points(cd, xpos, xmat, dtype)
-  L = len(cd.lim_dof)
+  L = len(cd.lim_dof) + cd.ten_site_body.shape[0]  # rows before contacts
   one = np.where(cd.point_condim == 1)[0]
   pyr = np.where(cd.point_condim == 3)[0]
   F = jnp.zeros((P, 3), dtype)

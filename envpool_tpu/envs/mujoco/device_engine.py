@@ -111,7 +111,8 @@ class DeviceModel(NamedTuple):
   dof_armature: np.ndarray             # [nv]
   ancestor: Tuple[Tuple[bool, ...], ...]  # [nbody][nbody] a is ancestor-or-self
   # actuators (motor/general with fixed gain, joint transmission)
-  act_dof: Tuple[int, ...]
+  act_dof: Tuple[int, ...]             # joint-transmission dof (-1: tendon)
+  act_trn: np.ndarray                  # [nu, nv] constant actuator moment
   act_gear: np.ndarray                 # [nu]
   ctrl_range: np.ndarray               # [nu, 2]
   force_range: np.ndarray              # [nu, 2] (+-inf when unlimited)
@@ -196,15 +197,16 @@ def _extract_model(m) -> DeviceModel:
       if float(m.jnt_stiffness[j]) != 0.0:
         raise NotImplementedError("springs on free joints not supported")
   for t in range(m.ntendon):
-    # dynamically-inert tendons (humanoid's hipknee markers: no
-    # stiffness/damping/limits/friction) have no effect on mj dynamics
+    # supported tendon effects: LIMITS on 2-site spatial tendons (a
+    # constraint row, extract_contacts) and fixed-tendon actuator
+    # transmission (folded into act_trn below). Tendon
+    # stiffness/damping/friction forces are not modeled.
     if (
       float(m.tendon_stiffness[t]) != 0.0
       or float(m.tendon_damping[t]) != 0.0
-      or bool(m.tendon_limited[t])
       or float(m.tendon_frictionloss[t]) != 0.0
     ):
-      raise NotImplementedError("active tendons not supported")
+      raise NotImplementedError("tendon stiffness/damping not supported")
   if m.neq:
     raise NotImplementedError("equality constraints not supported")
   if np.any(np.asarray(m.dof_frictionloss) != 0.0):
@@ -237,13 +239,33 @@ def _extract_model(m) -> DeviceModel:
       a = int(m.body_parentid[a])
 
   act_dof: List[int] = []
+  act_trn = np.zeros((m.nu, m.nv))
+  _TRN_JOINT, _TRN_TENDON = 0, 3  # mjtTrn
+  _WRAP_JOINT = 1                 # mjtWrap
   for u in range(m.nu):
-    # joint transmission with a fixed (possibly zero-bias) affine gain:
-    # the gym models use plain <motor> actuators
-    if int(m.actuator_trntype[u]) != 0:  # mjTRN_JOINT
-      raise NotImplementedError("only joint-transmission actuators")
-    jid = int(m.actuator_trnid[u, 0])
-    act_dof.append(int(m.jnt_dofadr[jid]))
+    # joint transmission with a fixed (possibly zero-bias) affine gain
+    # (the gym models' plain <motor>), or FIXED-tendon transmission
+    # (manipulator's grasp tendon): the actuator moment is a constant
+    # row over dofs, so tau = act_trn.T @ clamped_force
+    trn = int(m.actuator_trntype[u])
+    if trn == _TRN_JOINT:
+      jid = int(m.actuator_trnid[u, 0])
+      d = int(m.jnt_dofadr[jid])
+      act_dof.append(d)
+      act_trn[u, d] = 1.0
+    elif trn == _TRN_TENDON:
+      t = int(m.actuator_trnid[u, 0])
+      adr, num = int(m.tendon_adr[t]), int(m.tendon_num[t])
+      if any(int(m.wrap_type[adr + i]) != _WRAP_JOINT for i in range(num)):
+        raise NotImplementedError(
+          "tendon actuators supported on FIXED tendons only"
+        )
+      for i in range(num):
+        jid = int(m.wrap_objid[adr + i])
+        act_trn[u, int(m.jnt_dofadr[jid])] = float(m.wrap_prm[adr + i])
+      act_dof.append(-1)  # no single dof; consumers use act_trn
+    else:
+      raise NotImplementedError("only joint/fixed-tendon actuators")
 
   fr = np.asarray(m.actuator_forcerange, dtype=np.float64).reshape(m.nu, 2)
   flim = np.asarray(m.actuator_forcelimited, dtype=bool).reshape(m.nu)
@@ -269,7 +291,7 @@ def _extract_model(m) -> DeviceModel:
 
   from .device_collision import extract_contacts
   contacts = extract_contacts(m)
-  if contacts.point_b1.shape[0] == 0:
+  if contacts.point_b1.shape[0] == 0 and contacts.ten_site_body.shape[0] == 0:
     contacts = None  # limit-only models use the closed-form solve path
 
   return DeviceModel(
@@ -302,6 +324,7 @@ def _extract_model(m) -> DeviceModel:
     dof_armature=np.asarray(m.dof_armature, dtype=np.float64),
     ancestor=tuple(tuple(row) for row in ancestor),
     act_dof=tuple(act_dof),
+    act_trn=act_trn,
     act_gear=np.asarray(m.actuator_gear[:, 0], dtype=np.float64),
     ctrl_range=cr,
     force_range=fr,
@@ -348,17 +371,26 @@ def _extract_model(m) -> DeviceModel:
 
 
 def _rotm_axis_angle(axis, angle):
-  """Rotation matrix about a (world) unit axis — Rodrigues, traceable."""
+  """Rotation matrix about a (world) unit axis — Rodrigues, traceable.
+
+  The versine is computed as 1 - cos(a) = 2 sin^2(a/2): XLA's cos is
+  only ~f32-accurate near zero (measured 2.3e-8 absolute error at
+  a=0.001 in f64 on CPU), and the cancellation in 1-cos amplifies that
+  into ~5% relative error on the term; sin is correctly rounded, so the
+  half-angle identity restores full precision in both f64 (parity
+  tests) and f32 (the TPU path).
+  """
   import jax.numpy as jnp
-  c = jnp.cos(angle)
   s = jnp.sin(angle)
+  sh = jnp.sin(0.5 * angle)
+  vers = 2.0 * sh * sh                 # 1 - cos(angle), accurately
   x, y, z = axis[0], axis[1], axis[2]
   k = jnp.stack([
     jnp.stack([0.0 * x, -z, y]),
     jnp.stack([z, 0.0 * x, -x]),
     jnp.stack([-y, x, 0.0 * x]),
   ])
-  return jnp.eye(3, dtype=axis.dtype) + s * k + (1 - c) * (k @ k)
+  return jnp.eye(3, dtype=axis.dtype) + s * k + vers * (k @ k)
 
 
 def _quat2rotm_j(qt):
@@ -596,7 +628,11 @@ def bias_forces(mdl: DeviceModel, q, v, ctx=None):
 
 
 def actuator_force(mdl: DeviceModel, ctrl):
-  """Clamped motor controls -> qfrc_actuator (mj_fwdActuation)."""
+  """Clamped motor controls -> qfrc_actuator (mj_fwdActuation).
+
+  The actuator moment is a constant [nu, nv] row per actuator (1 at the
+  joint dof for joint transmission, the wrap coefs for fixed-tendon
+  transmission), so projection is one static matmul."""
   import jax.numpy as jnp
   dt = ctrl.dtype
   lo = jnp.asarray(mdl.ctrl_range[:, 0], dt)
@@ -608,10 +644,7 @@ def actuator_force(mdl: DeviceModel, ctrl):
     jnp.asarray(mdl.force_range[:, 0], dt),
     jnp.asarray(mdl.force_range[:, 1], dt),
   )
-  qfrc = jnp.zeros(mdl.nv, dt)
-  for u, d in enumerate(mdl.act_dof):
-    qfrc = qfrc.at[d].add(force[u])
-  return qfrc
+  return jnp.asarray(mdl.act_trn, dt).T @ force
 
 
 def passive_spring_force(mdl: DeviceModel, q):
@@ -703,12 +736,19 @@ def _solve_psd(A, b):
 
 
 def _impedance(solimp, x):
-  """MuJoCo constraint impedance d(x), x = |pos - margin| / width."""
+  """MuJoCo constraint impedance d(x), x = |pos - margin| / width.
+
+  The endpoints are clamped to [mjMINIMP, mjMAXIMP] = [1e-4, 0.9999]
+  before interpolation (mj_assignImpedance) — pinned empirically: for
+  d0=0 solimps (dm humanoid's solimplimit) mj's impedance exceeds the
+  raw spline by exactly (1-y)*1e-4."""
   import jax.numpy as jnp
   d0, dmax, _, mid, power = (
     float(solimp[0]), float(solimp[1]), float(solimp[2]),
     float(solimp[3]), float(solimp[4]),
   )
+  d0 = min(max(d0, 1e-4), 0.9999)
+  dmax = min(max(dmax, 1e-4), 0.9999)
   x = jnp.clip(x, 0.0, 1.0)
   a = 1.0 / mid ** (power - 1)
   b = 1.0 / (1.0 - mid) ** (power - 1)
@@ -885,7 +925,12 @@ def _qacc_smooth_parts(mdl: DeviceModel, q, v, tau):
 
 
 def _has_contact_points(mdl: DeviceModel) -> bool:
-  return mdl.contacts is not None and mdl.contacts.point_b1.shape[0] > 0
+  """True when the Newton row solve is needed (contact candidates or
+  tendon-limit rows); limit-only models take the closed-form path."""
+  return mdl.contacts is not None and (
+    mdl.contacts.point_b1.shape[0] > 0
+    or mdl.contacts.ten_site_body.shape[0] > 0
+  )
 
 
 def _contact_solve(mdl: DeviceModel, q, v, M, qfrc_smooth, ctx,
@@ -999,7 +1044,12 @@ def integrate_pos(mdl: DeviceModel, q, v, h):
       ang = jnp.sqrt(w @ w + 1e-30) * h
       # sin(ang/2)/|w| with the |w| -> 0 limit h/2
       s = jnp.where(ang > 1e-12, jnp.sin(ang / 2) / (ang / h), h / 2)
-      rot = jnp.concatenate([jnp.cos(ang / 2)[None], s * w])
+      # cos(ang/2) via 1 - 2 sin^2(ang/4): XLA's cos is f32-accurate
+      # near zero (see _rotm_axis_angle) and small rotations are the
+      # common case here
+      sq = jnp.sin(ang / 4)
+      cw = 1.0 - 2.0 * sq * sq
+      rot = jnp.concatenate([cw[None], s * w])
       quat = _quat_mul(q[qa + 3:qa + 7], rot)
       quat = quat / jnp.sqrt(quat @ quat)
       out = out.at[qa + 3:qa + 7].set(quat.astype(dt))

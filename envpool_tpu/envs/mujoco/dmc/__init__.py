@@ -6,11 +6,13 @@ from envpool_tpu.core.host_pool import HostEnvPool
 
 from .device_domains import (
   DmcAcrobotJaxEnv,
+  DmcBallInCupJaxEnv,
   DmcCartpoleJaxEnv,
   DmcCheetahJaxEnv,
   DmcFingerJaxEnv,
   DmcFishJaxEnv,
   DmcHopperJaxEnv,
+  DmcHumanoidJaxEnv,
   DmcPendulumJaxEnv,
   DmcPointMassJaxEnv,
   DmcReacherJaxEnv,
@@ -57,8 +59,10 @@ for _env_cls in (
 
 # on-device tier: default TpuEnvPool engine
 for _env_cls in (
-  DmcAcrobotJaxEnv, DmcCartpoleJaxEnv, DmcCheetahJaxEnv,
-  DmcFingerJaxEnv, DmcFishJaxEnv, DmcHopperJaxEnv, DmcPendulumJaxEnv,
+  DmcAcrobotJaxEnv, DmcBallInCupJaxEnv, DmcCartpoleJaxEnv,
+  DmcCheetahJaxEnv,
+  DmcFingerJaxEnv, DmcFishJaxEnv, DmcHopperJaxEnv, DmcHumanoidJaxEnv,
+  DmcPendulumJaxEnv,
   DmcPointMassJaxEnv, DmcReacherJaxEnv, DmcSwimmerJaxEnv,
   DmcWalkerJaxEnv,
 ):

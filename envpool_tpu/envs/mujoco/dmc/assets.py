@@ -735,6 +735,13 @@ DMC_HUMANOID_XML = """
       </body>
     </body>
   </worldbody>
+  <contact>
+    <!-- foot-foot is the model's only box-box pair; excluded so both
+         tiers share one contact set the device collider supports
+         (box-box narrow phase absent; feet crossing is a rare,
+         task-irrelevant state) -->
+    <exclude body1="left_foot" body2="right_foot"/>
+  </contact>
   <actuator>
     <motor name="abdomen_z" joint="abdomen_z" gear="40"/>
     <motor name="abdomen_y" joint="abdomen_y" gear="40"/>

@@ -65,11 +65,21 @@ def randomize_limited_and_rotational_joints(
 
   ``limited_only=True`` reproduces the episode inits that randomize
   *only* limited joints and leave unlimited root joints at 0 (e.g.
-  cheetah, ``envpool/mujoco/dmc/cheetah.h:83-98``)."""
+  cheetah, ``envpool/mujoco/dmc/cheetah.h:83-98``). Unlimited FREE
+  roots get a uniform random orientation (normalized 4-normal, the
+  suite's free-joint branch, ``base.py:173-176``)."""
+  _FREE = 0
   for j, jt in enumerate(mdl.jnt_type):
+    qa = mdl.jnt_qadr[j]
+    if jt == _FREE:
+      if not mdl.jnt_limited[j] and not limited_only:
+        key, sub = jax.random.split(key)
+        quat = jax.random.normal(sub, (4,), q.dtype)
+        quat = quat / jnp.sqrt(quat @ quat)
+        q = q.at[qa + 3:qa + 7].set(quat)
+      continue
     if jt not in (_SLIDE, _HINGE):
       continue
-    qa = mdl.jnt_qadr[j]
     if mdl.jnt_limited[j]:
       key, sub = jax.random.split(key)
       lo, hi = float(mdl.jnt_range[j, 0]), float(mdl.jnt_range[j, 1])
@@ -942,7 +952,7 @@ def _point_normal_forces(cd, f_rows):
   row forces (row layout mirrors assemble_rows: limits, condim-1 points,
   then 4 pyramid facets per condim-3 point — a facet sum is
   mj_contactForce's normal component)."""
-  L = len(cd.lim_dof)
+  L = len(cd.lim_dof) + cd.ten_site_body.shape[0]  # rows before contacts
   one = np.where(cd.point_condim == 1)[0]
   pyr = np.where(cd.point_condim == 3)[0]
   normal = jnp.zeros((cd.point_b1.shape[0],), f_rows.dtype)
@@ -1212,6 +1222,235 @@ class DmcCheetahJaxEnv(DmcDeviceEnv):
     speed = de.subtree_linvel(mdl, state["q"], state["v"], "torso")[0]
     reward = tolerance(
       speed, cls._RUN_SPEED, _INF, cls._RUN_SPEED, 0.0, LINEAR
+    )
+    return state, cls._obs(cfg, state), reward, jnp.bool_(False), dict(
+      cls._DISCOUNT_INFO
+    )
+
+class DmcBallInCupJaxEnv(DmcDeviceEnv):
+  """dmc ball_in_cup catch on-device
+  (``envpool/mujoco/dmc/ball_in_cup.h``): sphere-capsule contacts plus
+  the string as a limited spatial tendon constraint row (the first
+  tendon-constrained device model; parity vs ``mj_step`` incl. the taut
+  string is ~1e-13/step, ``tests/test_device_dmc.py``)."""
+
+  name = "DmcBallInCupJax"
+  model_xml = assets.BALL_IN_CUP_XML
+  _INIT_DRAWS = 8  # candidate ball drops; see DmcFingerJaxEnv._INIT_DRAWS
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {"frame_skip": 10, "task_name": "catch"}
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    if str(cfg.task_name) != "catch":
+      raise RuntimeError(
+        f"Unknown task_name {cfg.task_name} for dmc ball_in_cup."
+      )
+    return {
+      "obs:position": ArraySpec(np.float32, (4,)),
+      "obs:velocity": ArraySpec(np.float32, (4,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float32, (-1, 2), -1.0, 1.0)}
+
+  @classmethod
+  def _obs(cls, cfg, state):
+    return {"position": state["q"], "velocity": state["v"]}
+
+  @classmethod
+  def _in_target(cls, cfg, state):
+    """Ball center inside the target box site, shrunk by the ball
+    radius (ball_in_cup.h:142-152)."""
+    mdl = cls.mdl(cfg)
+    xpos, xmat, _, _ = de.fk(mdl, state["q"])
+    s = mdl.site_name2id["target"]
+    b = mdl.site_body[s]
+    tpos = xpos[b] + xmat[b] @ jnp.asarray(
+      mdl.site_pos[s], state["q"].dtype
+    )
+    ball = xpos[mdl.body_name2id["ball"]]
+    d = jnp.abs(jnp.stack([tpos[0] - ball[0], tpos[2] - ball[2]]))
+    size = np.asarray(mdl.site_size[s])[[0, 2]]
+    ball_size = float(
+      mdl.geom_size[mdl.geom_name2id["ball"], 0]
+    )
+    lim = jnp.asarray(size - ball_size, d.dtype)
+    return jnp.all(d < lim)
+
+  @classmethod
+  def reset(cls, cfg: Any, state: Any, key: jax.Array):
+    from .. import device_collision as dc
+    mdl = cls.mdl(cfg)
+    cd = mdl.contacts
+    q0, v = cls._reset_qv(cfg)
+    # collision-free random ball drop (ball_in_cup.h:86-97): K
+    # candidate (x, z) draws, first with every contact separated
+    qs, oks = [], []
+    for k in jax.random.split(key, cls._INIT_DRAWS):
+      kx, kz = jax.random.split(k)
+      qc = q0.at[2].set(jax.random.uniform(kx, (), q0.dtype, -0.2, 0.2))
+      qc = qc.at[3].set(jax.random.uniform(kz, (), q0.dtype, 0.2, 0.5))
+      xpos, xmat, _, _ = de.fk(mdl, qc)
+      _, dist, _, _, _, gate = dc.contact_points(cd, xpos, xmat, qc.dtype)
+      oks.append(jnp.all((dist >= 0) | ~gate))
+      qs.append(qc)
+    pick = jnp.argmax(jnp.stack(oks))
+    state = {"q": jnp.stack(qs)[pick], "v": v}
+    return state, cls._obs(cfg, state), dict(cls._DISCOUNT_INFO)
+
+  @classmethod
+  def step(cls, cfg: Any, state: Any, action: Any, key: jax.Array):
+    del key
+    state = cls._physics(cfg, state, jnp.asarray(action, jnp.float32))
+    reward = cls._in_target(cfg, state).astype(jnp.float32)
+    return state, cls._obs(cfg, state), reward, jnp.bool_(False), dict(
+      cls._DISCOUNT_INFO
+    )
+
+
+class _DmcHumanoidRewardMixin:
+  """Shared humanoid reward recipe (humanoid.h:144-178 and
+  humanoid_CMU.h's identical structure): standing x upright x
+  small-control, times dont_move (speed 0) or the (5*move+1)/6 term."""
+
+  @classmethod
+  def _reward(cls, cfg, state, ctrl, head_z, upright_v, comv):
+    standing = tolerance(
+      head_z, cls._STAND_HEIGHT, _INF, cls._STAND_HEIGHT / 4
+    )
+    upright = tolerance(upright_v, 0.9, _INF, 1.9, 0.0, LINEAR)
+    stand_reward = standing * upright
+    small_control = jnp.mean(
+      tolerance(ctrl, 0.0, 0.0, 1.0, 0.0, QUADRATIC)
+    )
+    small_control = (small_control + 4.0) / 5.0
+    speed_target = cls._SPEEDS[str(cfg.task_name)]
+    if speed_target == 0.0:
+      dont_move = (
+        0.5 * tolerance(comv[0], 0.0, 0.0, 2.0)
+        + 0.5 * tolerance(comv[1], 0.0, 0.0, 2.0)
+      )
+      return small_control * stand_reward * dont_move
+    speed = jnp.hypot(comv[0], comv[1])
+    move = tolerance(speed, speed_target, _INF, speed_target, 0.0, LINEAR)
+    move = (5.0 * move + 1.0) / 6.0
+    return small_control * stand_reward * move
+
+
+class DmcHumanoidJaxEnv(_DmcHumanoidRewardMixin, DmcDeviceEnv):
+  """dmc humanoid stand/walk/run/run_pure_state on-device
+  (``envpool/mujoco/dmc/humanoid.h``): free quaternion root, 21 hinges,
+  box feet on the floor via the plane-box corner narrow phase."""
+
+  name = "DmcHumanoidJax"
+  model_xml = assets.DMC_HUMANOID_XML
+  _STAND_HEIGHT = 1.4
+  _SPEEDS = {
+    "stand": 0.0, "walk": 1.0, "run": 10.0, "run_pure_state": 10.0,
+  }
+  # collision-free draw acceptance is far lower than the planar models
+  # (random root orientation vs the floor); the host rejection loop
+  # tries up to 100 (humanoid.h:98-110)
+  _INIT_DRAWS = 16
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {"frame_skip": 5, "task_name": "stand"}
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    if str(cfg.task_name) not in DmcHumanoidJaxEnv._SPEEDS:
+      raise RuntimeError(
+        f"Unknown task_name {cfg.task_name} for dmc humanoid."
+      )
+    return {
+      "obs:joint_angles": ArraySpec(np.float32, (21,)),
+      "obs:head_height": ArraySpec(np.float32, ()),
+      "obs:extremities": ArraySpec(np.float32, (12,)),
+      "obs:torso_vertical": ArraySpec(np.float32, (3,)),
+      "obs:com_velocity": ArraySpec(np.float32, (3,)),
+      "obs:position": ArraySpec(np.float32, (28,)),
+      "obs:velocity": ArraySpec(np.float32, (27,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float32, (-1, 21), -1.0, 1.0)}
+
+  _EXT_BODIES = ("left_hand", "left_foot", "right_hand", "right_foot")
+
+  @classmethod
+  def _obs(cls, cfg, state):
+    mdl = cls.mdl(cfg)
+    q, v = state["q"], state["v"]
+    dt = q.dtype
+    xpos, xmat, _, _ = de.fk(mdl, q)
+    torso = mdl.body_name2id["torso"]
+    frame = xmat[torso]
+    tpos = xpos[torso]
+    comv = de.subtree_linvel(mdl, q, v, "torso")
+    if str(cfg.task_name) == "run_pure_state":
+      # the reference writes position+velocity only; the pixels-era
+      # fields stay zero-filled (humanoid.h:188-201)
+      return {
+        "joint_angles": jnp.zeros(21, dt),
+        "head_height": jnp.zeros((), dt),
+        "extremities": jnp.zeros(12, dt),
+        "torso_vertical": jnp.zeros(3, dt),
+        "com_velocity": jnp.zeros(3, dt),
+        "position": q,
+        "velocity": v,
+      }
+    ext = []
+    for b in cls._EXT_BODIES:
+      ext.append((xpos[mdl.body_name2id[b]] - tpos) @ frame)
+    return {
+      "joint_angles": q[7:],
+      "head_height": xpos[mdl.body_name2id["head"]][2],
+      "extremities": jnp.concatenate(ext),
+      "torso_vertical": frame[2],
+      "com_velocity": comv,
+      "position": jnp.zeros(28, dt),
+      "velocity": v,
+    }
+
+  @classmethod
+  def reset(cls, cfg: Any, state: Any, key: jax.Array):
+    from .. import device_collision as dc
+    mdl = cls.mdl(cfg)
+    cd = mdl.contacts
+    q0, v = cls._reset_qv(cfg)
+    qs, oks = [], []
+    for k in jax.random.split(key, cls._INIT_DRAWS):
+      qc = randomize_limited_and_rotational_joints(mdl, q0, k)
+      xpos, xmat, _, _ = de.fk(mdl, qc)
+      _, dist, _, _, _, gate = dc.contact_points(cd, xpos, xmat, qc.dtype)
+      oks.append(jnp.all((dist >= 0) | ~gate))
+      qs.append(qc)
+    pick = jnp.argmax(jnp.stack(oks))
+    state = {"q": jnp.stack(qs)[pick], "v": v}
+    return state, cls._obs(cfg, state), dict(cls._DISCOUNT_INFO)
+
+  @classmethod
+  def step(cls, cfg: Any, state: Any, action: Any, key: jax.Array):
+    del key
+    ctrl = jnp.asarray(action, jnp.float32)
+    state = cls._physics(cfg, state, ctrl)
+    mdl = cls.mdl(cfg)
+    q, v = state["q"], state["v"]
+    xpos, xmat, _, _ = de.fk(mdl, q)
+    # mj clamps ctrl before writing data.ctrl; the reward reads the
+    # clamped value
+    ctrl_cl = jnp.clip(ctrl, -1.0, 1.0)
+    reward = cls._reward(
+      cfg, state, ctrl_cl,
+      xpos[mdl.body_name2id["head"]][2],
+      xmat[mdl.body_name2id["torso"]][2, 2],
+      de.subtree_linvel(mdl, q, v, "torso"),
     )
     return state, cls._obs(cfg, state), reward, jnp.bool_(False), dict(
       cls._DISCOUNT_INFO

@@ -412,7 +412,9 @@ class DmcBallInCupEnv(DmcEnv):
 
   @staticmethod
   def default_config() -> Dict[str, Any]:
-    return {"frame_skip": 1, "task_name": "catch"}
+    # ball_in_cup.h:42 binds frame_skip 10 (the suite's 0.02s control
+    # timestep over the 0.002s physics step)
+    return {"frame_skip": 10, "task_name": "catch"}
 
   @staticmethod
   def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
@@ -436,6 +438,7 @@ class DmcBallInCupEnv(DmcEnv):
       self.model, mujoco.mjtObj.mjOBJ_SITE, "target"
     )
     self.id_ball = self.body_id("ball")
+    self.id_ball_geom = self.geom_id("ball")
     self.id_ball_x = self.qpos_id("ball_x")
     self.id_ball_z = self.qpos_id("ball_z")
 
@@ -449,11 +452,13 @@ class DmcBallInCupEnv(DmcEnv):
         break
 
   def _in_target(self) -> bool:
+    # reward window shrinks by the ball radius (ball_in_cup.h:142-152)
     target = self.data.site_xpos[self.id_target][[0, 2]]
     ball = self.data.xpos[self.id_ball][[0, 2]]
     size = self.model.site_size[self.id_target][[0, 2]]
+    ball_size = self.model.geom_size[self.id_ball_geom, 0]
     d = np.abs(target - ball)
-    return bool(np.all(d < size))
+    return bool(np.all(d < size - ball_size))
 
   def task_get_reward(self) -> float:
     return 1.0 if self._in_target() else 0.0

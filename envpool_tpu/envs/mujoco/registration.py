@@ -114,6 +114,11 @@ for task, max_episode_steps in [
 # replicas); ids mirror the host tier's with a Jax suffix on the domain
 dmc_device_envs = [
   ("acrobot", "swingup", 1000),
+  ("ball_in_cup", "catch", 1000),
+  ("humanoid", "stand", 1000),
+  ("humanoid", "walk", 1000),
+  ("humanoid", "run", 1000),
+  ("humanoid", "run_pure_state", 1000),
   ("acrobot", "swingup_sparse", 1000),
   ("cartpole", "balance", 1000),
   ("cartpole", "balance_sparse", 1000),

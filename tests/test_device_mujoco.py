@@ -242,8 +242,9 @@ def test_device_mujoco_through_pool_deterministic() -> None:
 
 @isolated
 def test_unsupported_models_raise(tmp_path) -> None:
-  """Out-of-scope geoms (box) are rejected with a clear error;
-  pusher (cylinder), ant and humanoid extract."""
+  """Genuinely out-of-scope geoms (ellipsoid, box-box pairs) are
+  rejected with a clear error; box-plane now extracts (plane-box
+  corner narrow phase), as do pusher/ant/humanoid."""
   xml = tmp_path / "box.xml"
   xml.write_text(
     "<mujoco><worldbody>"
@@ -252,8 +253,28 @@ def test_unsupported_models_raise(tmp_path) -> None:
     '<geom name="g" type="box" size=".1 .1 .1"/></body>'
     "</worldbody></mujoco>"
   )
+  assert de.extract_model(str(xml)).contacts is not None
+  bad = tmp_path / "ellipsoid.xml"
+  bad.write_text(
+    "<mujoco><worldbody>"
+    '<geom name="floor" type="plane" size="1 1 .1"/>'
+    '<body name="b" pos="0 0 1"><freejoint/>'
+    '<geom name="g" type="ellipsoid" size=".1 .1 .2"/></body>'
+    "</worldbody></mujoco>"
+  )
   with pytest.raises(NotImplementedError):
-    de.extract_model(str(xml))
+    de.extract_model(str(bad))
+  boxbox = tmp_path / "boxbox.xml"
+  boxbox.write_text(
+    "<mujoco><worldbody>"
+    '<body name="a" pos="0 0 1"><freejoint/>'
+    '<geom name="g1" type="box" size=".1 .1 .1"/></body>'
+    '<body name="b" pos="0 0 2"><freejoint/>'
+    '<geom name="g2" type="box" size=".1 .1 .1"/></body>'
+    "</worldbody></mujoco>"
+  )
+  with pytest.raises(NotImplementedError):
+    de.extract_model(str(boxbox))
   assert de.extract_model(_asset("pusher.xml")).contacts is not None
   assert de.extract_model(_asset("ant.xml")).contacts is not None
   assert de.extract_model(_asset("humanoid.xml")).contacts is not None
