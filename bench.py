@@ -315,6 +315,11 @@ def main() -> None:
   # cheetah-run steps the full contact pipeline once per env-step
   run("CheetahJaxRun-v1", 120.0, bench_device_family, "CheetahJaxRun-v1",
       min(args.num_envs, 4096), args.steps)
+  # dm humanoid (nv=27, ~350 constraint rows, 5 substeps/step): the
+  # widest regularly-benched contact program — measured 1.7M
+  # env-steps/s at B=256 during r4 bring-up
+  run("HumanoidJaxRun-v1", 150.0, bench_device_family, "HumanoidJaxRun-v1",
+      min(args.num_envs, 1024), min(args.steps, 128))
   # Host tier (mujoco over raw mj_step) — frames/s incl. frame_skip 5,
   # the reference's accounting for its Ant-v3 sync/async rows.
   run("host_ant_v4_sync_fps", 45.0, bench_host_family, "Ant-v4",

@@ -410,6 +410,11 @@ def extract_contacts(m) -> ContactData:
   for c in pt["condim"]:
     rows += 2 * (c - 1) if c > 1 else 1
   deep = nv > 9 or rows > 70
+  # humanoid-scale problems (nv ~27, ~350 rows) leave 8-iteration
+  # solves ~0.3 in qvel from mj's optimum at contact-transition
+  # substeps (warm start far from the new active set); 16/12 restores
+  # ~1e-12 per-substep parity (measured, dm humanoid substep 2)
+  wide = nv > 20 or rows > 200
 
   return ContactData(
     geom_body=gb,
@@ -478,8 +483,8 @@ def extract_contacts(m) -> ContactData:
       else np.zeros((0, 2, nv))
     ),
     nrows=rows,
-    newton_iters=8 if deep else 6,
-    newton_ls=8 if deep else 6,
+    newton_iters=16 if wide else (8 if deep else 6),
+    newton_ls=12 if wide else (8 if deep else 6),
   )
 
 

@@ -410,7 +410,7 @@ def _quat2rotm_j(qt):
 
 
 @precise_matmul
-def fk(mdl: DeviceModel, q):
+def fk(mdl: DeviceModel, q, mut=None):
   """mj_kinematics: world pose per body + world anchor/axis per DOF.
 
   Returns (xpos[nbody,3], xmat[nbody,3,3], anchors{dof: [3]}, axes{dof}).
@@ -418,6 +418,11 @@ def fk(mdl: DeviceModel, q):
   unused) and 3 rotations about the body-frame axes through the body
   origin — matching MuJoCo's cdof convention (angular velocity in the
   child body's local frame).
+
+  ``mut`` (optional): {body_id: (pos3, rotm33)} overriding a body's
+  LOCAL frame (body_pos/body_quat) with traced per-env values — the
+  device counterpart of tasks that mutate mjModel body poses per
+  episode (manipulator's receptacle/target, ``manipulator.h:186-210``).
   """
   import jax.numpy as jnp
   dt = q.dtype
@@ -428,8 +433,13 @@ def fk(mdl: DeviceModel, q):
   eye3 = np.eye(3)
   for b in range(1, mdl.nbody):
     p = mdl.parent[b]
-    pos = xpos[p] + xmat[p] @ jnp.asarray(mdl.body_pos[b], dt)
-    rot = xmat[p] @ jnp.asarray(mdl.body_rotm[b], dt)
+    if mut is not None and b in mut:
+      lpos, lrot = mut[b]
+      pos = xpos[p] + xmat[p] @ jnp.asarray(lpos, dt)
+      rot = xmat[p] @ jnp.asarray(lrot, dt)
+    else:
+      pos = xpos[p] + xmat[p] @ jnp.asarray(mdl.body_pos[b], dt)
+      rot = xmat[p] @ jnp.asarray(mdl.body_rotm[b], dt)
     for j in mdl.body_joints[b]:
       d = mdl.jnt_dof[j]
       qa = mdl.jnt_qadr[j]
@@ -499,13 +509,13 @@ def _spatial_inertias(mdl: DeviceModel, xpos, xmat):
   return Is
 
 
-def _kin_ctx(mdl: DeviceModel, q):
+def _kin_ctx(mdl: DeviceModel, q, mut=None):
   """One forward-kinematics pass shared by all dynamics terms.
 
   Returns (xpos, xmat, S, Is). Sharing this cuts both trace time and
   graph size ~3x (mass matrix, bias, and fluid each needed it).
   """
-  xpos, xmat, anchors, axes = fk(mdl, q)
+  xpos, xmat, anchors, axes = fk(mdl, q, mut)
   S = _motion_subspaces(mdl, anchors, axes)
   Is = _spatial_inertias(mdl, xpos, xmat)
   return xpos, xmat, S, Is
@@ -910,11 +920,11 @@ def fluid_force(mdl: DeviceModel, q, v, ctx=None):
 
 
 @precise_matmul
-def _qacc_smooth_parts(mdl: DeviceModel, q, v, tau):
+def _qacc_smooth_parts(mdl: DeviceModel, q, v, tau, mut=None):
   import jax.numpy as jnp
   dt = q.dtype
   damping = jnp.asarray(mdl.dof_damping, dt)
-  ctx = _kin_ctx(mdl, q)  # ONE fk pass for all three terms
+  ctx = _kin_ctx(mdl, q, mut)  # ONE fk pass for all three terms
   M = mass_matrix(mdl, q, ctx)
   c = bias_forces(mdl, q, v, ctx)
   spring = passive_spring_force(mdl, q)
@@ -990,14 +1000,14 @@ def _limit_minv_cols(mdl: DeviceModel, M):
 
 @precise_matmul
 def _qacc_full(mdl: DeviceModel, q, v, tau, warm=None, first=None,
-               want_fext=False):
+               want_fext=False, mut=None):
   """Forward dynamics incl. limit+contact constraints (mj_forward).
 
   ``want_fext`` additionally returns the per-body external contact
   wrench about the world origin (cfrc_ext precursor) and the efc row
   forces -> (qacc, fext, f).
   """
-  M, qfrc_smooth, ctx = _qacc_smooth_parts(mdl, q, v, tau)
+  M, qfrc_smooth, ctx = _qacc_smooth_parts(mdl, q, v, tau, mut)
   if _has_contact_points(mdl):
     qacc, _, f = _contact_solve(mdl, q, v, M, qfrc_smooth, ctx, warm, first)
     if want_fext:
@@ -1060,7 +1070,7 @@ def integrate_pos(mdl: DeviceModel, q, v, h):
 
 @precise_matmul
 def step_smooth(mdl: DeviceModel, q, v, ctrl, nstep: int = 1,
-                want_aux: bool = False, tau=None):
+                want_aux: bool = False, tau=None, mut=None):
   """mj_step x nstep, smooth dynamics only, per the model's integrator.
 
   - Euler (``mj_Euler``): qacc solves (M + h*diag(damping)) qacc =
@@ -1102,22 +1112,22 @@ def step_smooth(mdl: DeviceModel, q, v, ctrl, nstep: int = 1,
     Returns (q, v, last qacc, aux)."""
     aux = None
     if mdl.integrator == 1:  # RK4 (full dynamics per stage)
-      a1 = _qacc_full(mdl, q, v, tau, warm, first)
+      a1 = _qacc_full(mdl, q, v, tau, warm, first, mut=mut)
       q2, v2 = integrate_pos(mdl, q, v, 0.5 * h), v + 0.5 * h * a1
-      a2 = _qacc_full(mdl, q2, v2, tau, a1)
+      a2 = _qacc_full(mdl, q2, v2, tau, a1, mut=mut)
       q3, v3 = integrate_pos(mdl, q, v2, 0.5 * h), v + 0.5 * h * a2
-      a3 = _qacc_full(mdl, q3, v3, tau, a2)
+      a3 = _qacc_full(mdl, q3, v3, tau, a2, mut=mut)
       q4, v4 = integrate_pos(mdl, q, v3, h), v + h * a3
       if want_aux:
-        a4, fext, f4 = _qacc_full(mdl, q4, v4, tau, a3, want_fext=True)
+        a4, fext, f4 = _qacc_full(mdl, q4, v4, tau, a3, want_fext=True, mut=mut)
         aux = (q4, v4, fext, f4)
       else:
-        a4 = _qacc_full(mdl, q4, v4, tau, a3)
+        a4 = _qacc_full(mdl, q4, v4, tau, a3, mut=mut)
       q = integrate_pos(mdl, q, (v + 2 * v2 + 2 * v3 + v4) / 6.0, h)
       v = v + (h / 6.0) * (a1 + 2 * a2 + 2 * a3 + a4)
       last = a4
     else:  # Euler with implicit damping
-      M, qfrc_smooth, ctx = _qacc_smooth_parts(mdl, q, v, tau)
+      M, qfrc_smooth, ctx = _qacc_smooth_parts(mdl, q, v, tau, mut)
       qfrc = qfrc_smooth
       last = None
       if contacts:

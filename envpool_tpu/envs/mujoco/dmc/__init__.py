@@ -12,7 +12,9 @@ from .device_domains import (
   DmcFingerJaxEnv,
   DmcFishJaxEnv,
   DmcHopperJaxEnv,
+  DmcHumanoidCMUJaxEnv,
   DmcHumanoidJaxEnv,
+  DmcManipulatorJaxEnv,
   DmcPendulumJaxEnv,
   DmcPointMassJaxEnv,
   DmcReacherJaxEnv,
@@ -61,7 +63,8 @@ for _env_cls in (
 for _env_cls in (
   DmcAcrobotJaxEnv, DmcBallInCupJaxEnv, DmcCartpoleJaxEnv,
   DmcCheetahJaxEnv,
-  DmcFingerJaxEnv, DmcFishJaxEnv, DmcHopperJaxEnv, DmcHumanoidJaxEnv,
+  DmcFingerJaxEnv, DmcFishJaxEnv, DmcHopperJaxEnv,
+  DmcHumanoidCMUJaxEnv, DmcHumanoidJaxEnv, DmcManipulatorJaxEnv,
   DmcPendulumJaxEnv,
   DmcPointMassJaxEnv, DmcReacherJaxEnv, DmcSwimmerJaxEnv,
   DmcWalkerJaxEnv,

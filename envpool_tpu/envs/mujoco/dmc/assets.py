@@ -796,11 +796,11 @@ def manipulator_xml(task_name: str) -> str:
   cup = """
     <body name="cup" pos="-0.2 0 0.2">
       <geom name="cup_left" type="capsule" fromto="-0.05 0 0 -0.05 0 0.08"
-            size="0.008" contype="2" conaffinity="2"/>
+            size="0.008" contype="2" conaffinity="1"/>
       <geom name="cup_right" type="capsule" fromto="0.05 0 0 0.05 0 0.08"
-            size="0.008" contype="2" conaffinity="2"/>
+            size="0.008" contype="2" conaffinity="1"/>
       <geom name="cup_base" type="capsule" fromto="-0.05 0 0 0.05 0 0"
-            size="0.008" contype="2" conaffinity="2"/>
+            size="0.008" contype="2" conaffinity="1"/>
     </body>"""
   peg = """
     <body name="peg" pos="0 0 0">
@@ -824,11 +824,11 @@ def manipulator_xml(task_name: str) -> str:
   slot = """
     <body name="slot" pos="-0.2 0 0.2">
       <geom name="slot_left" type="box" pos="-0.035 0 0.04"
-            size="0.01 0.02 0.08" contype="2" conaffinity="2"/>
+            size="0.01 0.02 0.08" contype="2" conaffinity="1"/>
       <geom name="slot_right" type="box" pos="0.035 0 0.04"
-            size="0.01 0.02 0.08" contype="2" conaffinity="2"/>
+            size="0.01 0.02 0.08" contype="2" conaffinity="1"/>
       <geom name="slot_base" type="box" pos="0 0 -0.05"
-            size="0.045 0.02 0.01" contype="2" conaffinity="2"/>
+            size="0.045 0.02 0.01" contype="2" conaffinity="1"/>
     </body>"""
 
   props = peg if use_peg else ball

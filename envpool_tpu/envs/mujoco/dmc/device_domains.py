@@ -964,7 +964,7 @@ def _point_normal_forces(cd, f_rows):
   return normal
 
 
-def site_touch_forces(mdl, q, f_rows, site_names):
+def site_touch_forces(mdl, q, f_rows, site_names, mut=None):
   """mj touch sensors (mjSENS_TOUCH): per site, the sum of contact
   normal forces for contacts on the site's body whose RAY — cast from
   the contact point along the contact normal oriented AWAY from that
@@ -979,7 +979,7 @@ def site_touch_forces(mdl, q, f_rows, site_names):
   mjData's sensordata was computed at."""
   from .. import device_collision as dc
   cd = mdl.contacts
-  xpos, xmat, _, _ = de.fk(mdl, q)
+  xpos, xmat, _, _ = de.fk(mdl, q, mut)
   pos, _, n, _, _, _ = dc.contact_points(cd, xpos, xmat, q.dtype)
   normal = _point_normal_forces(cd, f_rows)
   out = []
@@ -1451,6 +1451,357 @@ class DmcHumanoidJaxEnv(_DmcHumanoidRewardMixin, DmcDeviceEnv):
       xpos[mdl.body_name2id["head"]][2],
       xmat[mdl.body_name2id["torso"]][2, 2],
       de.subtree_linvel(mdl, q, v, "torso"),
+    )
+    return state, cls._obs(cfg, state), reward, jnp.bool_(False), dict(
+      cls._DISCOUNT_INFO
+    )
+
+class DmcManipulatorJaxEnv(DmcDeviceEnv):
+  """dmc manipulator bring_ball/bring_peg/insert_ball/insert_peg
+  on-device (``envpool/mujoco/dmc/manipulator.h``): planar arm with a
+  two-finger gripper (fixed-tendon grasp actuator), props with
+  sphere/capsule-box contacts against the receptacles, and per-episode
+  receptacle/target poses carried in env state and applied through the
+  engine's body-pose override (``de.fk(mut=...)``) — the reference
+  mutates mjModel body_pos/body_quat instead (manipulator.h:186-210)."""
+
+  name = "DmcManipulatorJax"
+  model_xml = staticmethod(assets.manipulator_xml)
+  _CLOSE = 0.01
+  _P_IN_TARGET = 0.1
+  _P_IN_HAND = 0.1
+  _ARM_JOINTS = (
+    "arm_root", "arm_shoulder", "arm_elbow", "arm_wrist",
+    "finger", "fingertip", "thumb", "thumbtip",
+  )
+  _TOUCH_SITES = (
+    "palm_site", "finger_site", "thumb_site", "fingertip_site",
+    "thumbtip_site",
+  )
+  _INIT_DRAWS = 8
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {"frame_skip": 10, "task_name": "bring_ball"}
+
+  @classmethod
+  def _use_peg(cls, cfg) -> bool:
+    return str(cfg.task_name) in ("bring_peg", "insert_peg")
+
+  @classmethod
+  def _insert(cls, cfg) -> bool:
+    return str(cfg.task_name) in ("insert_ball", "insert_peg")
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    if str(cfg.task_name) not in (
+      "bring_ball", "bring_peg", "insert_ball", "insert_peg"
+    ):
+      raise RuntimeError(
+        f"Unknown task_name {cfg.task_name} for dmc manipulator."
+      )
+    return {
+      "obs:arm_pos": ArraySpec(np.float32, (8, 2)),
+      "obs:arm_vel": ArraySpec(np.float32, (8,)),
+      "obs:touch": ArraySpec(np.float32, (5,)),
+      "obs:hand_pos": ArraySpec(np.float32, (4,)),
+      "obs:object_pos": ArraySpec(np.float32, (4,)),
+      "obs:object_vel": ArraySpec(np.float32, (3,)),
+      "obs:target_pos": ArraySpec(np.float32, (4,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float32, (-1, 5), -1.0, 1.0)}
+
+  # ---------------------------------------------------------- helpers
+
+  @classmethod
+  def _mut(cls, cfg, target):
+    """Body-pose overrides from the episode target (x, z, angle)."""
+    mdl = cls.mdl(cfg)
+    tx, tz, ang = target[0], target[1], target[2]
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    zero = jnp.zeros_like(c)
+    one = jnp.ones_like(c)
+    rot = jnp.stack([
+      jnp.stack([c, zero, s]),
+      jnp.stack([zero, one, zero]),
+      jnp.stack([-s, zero, c]),
+    ])
+    mut = {}
+    tgt = "target_peg" if cls._use_peg(cfg) else "target_ball"
+    b = mdl.body_name2id[tgt]
+    base = mdl.body_pos[b]
+    pos = jnp.stack([tx, jnp.asarray(base[1], tx.dtype) * one, tz])
+    mut[b] = (pos, rot)
+    if cls._insert(cfg):
+      recep = "slot" if cls._use_peg(cfg) else "cup"
+      br = mdl.body_name2id[recep]
+      baser = mdl.body_pos[br]
+      posr = jnp.stack([tx, jnp.asarray(baser[1], tx.dtype) * one, tz])
+      mut[br] = (posr, rot)
+    return mut
+
+  @classmethod
+  def _qadr(cls, cfg):
+    """qpos addresses: 8 arm joints then object x/z/y — the replica
+    declares joints in exactly this order, so addresses are 0..10."""
+    mdl = cls.mdl(cfg)
+    assert mdl.nq == 11
+    return list(range(8)), [8, 9, 10]
+
+  @classmethod
+  def _site_pose(cls, mdl, xpos, xmat, name, dtype):
+    s = mdl.site_name2id[name]
+    b = mdl.site_body[s]
+    return xpos[b] + xmat[b] @ jnp.asarray(mdl.site_pos[s], dtype)
+
+  @classmethod
+  def _obs(cls, cfg, state):
+    mdl = cls.mdl(cfg)
+    q, v = state["q"], state["v"]
+    dt = q.dtype
+    arm_adr, obj_adr = cls._qadr(cfg)
+    mut = cls._mut(cfg, state["target"])
+    xpos, xmat, _, _ = de.fk(mdl, q, mut)
+    arm_q = q[jnp.asarray(arm_adr)]
+    arm_pos = jnp.stack([jnp.sin(arm_q), jnp.cos(arm_q)], axis=1)
+    # planar model: every body rotation is about +y, so xquat's (qw, qy)
+    # pair is the half-angle of the SUMMED joint angles (mj composes
+    # joint quats without wrapping; manipulator.h Body2dPose)
+    hand_phi = q[0] + q[1] + q[2] + q[3]
+    obj = "peg" if cls._use_peg(cfg) else "ball"
+    hand_b = mdl.body_name2id["hand"]
+    obj_b = mdl.body_name2id[obj]
+    obj_phi = q[obj_adr[2]]
+    tgt_ang = state["target"][2]
+    def pose2d(b, phi):
+      return jnp.stack([
+        xpos[b][0], xpos[b][2], jnp.cos(phi / 2), jnp.sin(phi / 2)
+      ])
+    tgt_b = mdl.body_name2id[
+      "target_peg" if cls._use_peg(cfg) else "target_ball"
+    ]
+    return {
+      "arm_pos": arm_pos,
+      "arm_vel": v[jnp.asarray(arm_adr)],
+      "touch": jnp.log1p(state["touch"]),
+      "hand_pos": pose2d(hand_b, hand_phi),
+      "object_pos": pose2d(obj_b, obj_phi),
+      "object_vel": v[jnp.asarray(obj_adr)],
+      "target_pos": pose2d(tgt_b, tgt_ang),
+    }
+
+  @classmethod
+  def reset(cls, cfg: Any, state: Any, key: jax.Array):
+    from .. import device_collision as dc
+    mdl = cls.mdl(cfg)
+    cd = mdl.contacts
+    q0, v0 = cls._reset_qv(cfg)
+    arm_adr, obj_adr = cls._qadr(cfg)
+    insert = cls._insert(cfg)
+    qs, targets, vels, oks = [], [], [], []
+    for k in jax.random.split(key, cls._INIT_DRAWS):
+      ks = jax.random.split(k, 10)
+      qc = q0
+      for i, a in enumerate(arm_adr):
+        j = cls._arm_jnt_index(mdl, i)
+        if mdl.jnt_limited[j]:
+          lo, hi = float(mdl.jnt_range[j, 0]), float(mdl.jnt_range[j, 1])
+        else:
+          lo, hi = -math.pi, math.pi
+        qc = qc.at[a].set(jax.random.uniform(ks[i % 8], (), q0.dtype, lo, hi))
+      # finger := thumb (manipulator.h:178)
+      qc = qc.at[arm_adr[4]].set(qc[arm_adr[6]])
+      tx = jax.random.uniform(ks[8], (), q0.dtype, -0.4, 0.4)
+      kz, ka, kc, kx2, kz2, kang, kvx = jax.random.split(ks[9], 7)
+      tz = jax.random.uniform(kz, (), q0.dtype, 0.1, 0.4)
+      if insert:
+        ang = jax.random.uniform(
+          ka, (), q0.dtype, -math.pi / 3, math.pi / 3
+        )
+      else:
+        ang = jax.random.uniform(ka, (), q0.dtype, -math.pi, math.pi)
+      target = jnp.stack([tx, tz, ang])
+      # object init: in_target (p=.1) / in_hand (p=.1) / uniform
+      choice = jax.random.uniform(kc, (), q0.dtype)
+      xpos_c, xmat_c, _, _ = de.fk(mdl, qc)
+      grasp = cls._site_pose(mdl, xpos_c, xmat_c, "grasp", q0.dtype)
+      hb = mdl.body_name2id["hand"]
+      gdir = xmat_c[hb]
+      hand_angle = math.pi - jnp.arctan2(gdir[2, 0], gdir[0, 0])
+      ux = jax.random.uniform(kx2, (), q0.dtype, -0.5, 0.5)
+      uz = jax.random.uniform(kz2, (), q0.dtype, 0.0, 0.7)
+      uang = jax.random.uniform(kang, (), q0.dtype, 0.0, 2 * math.pi)
+      uvx = jax.random.uniform(kvx, (), q0.dtype, -5.0, 5.0)
+      in_tgt = choice <= cls._P_IN_TARGET
+      in_hand = (~in_tgt) & (choice <= cls._P_IN_TARGET + cls._P_IN_HAND)
+      ox = jnp.where(in_tgt, tx, jnp.where(in_hand, grasp[0], ux))
+      oz = jnp.where(in_tgt, tz, jnp.where(in_hand, grasp[2], uz))
+      oang = jnp.where(in_tgt, ang, jnp.where(in_hand, hand_angle, uang))
+      qc = qc.at[obj_adr[0]].set(ox)
+      qc = qc.at[obj_adr[1]].set(oz)
+      qc = qc.at[obj_adr[2]].set(oang)
+      vc = v0.at[obj_adr[0]].set(
+        jnp.where(in_tgt | in_hand, 0.0, uvx)
+      )
+      mut = cls._mut(cfg, target)
+      xp, xm, _, _ = de.fk(mdl, qc, mut)
+      _, dist, _, _, _, gate = dc.contact_points(cd, xp, xm, qc.dtype)
+      oks.append(jnp.all((dist >= 0) | ~gate))
+      qs.append(qc)
+      targets.append(target)
+      vels.append(vc)
+    pick = jnp.argmax(jnp.stack(oks))
+    state = {
+      "q": jnp.stack(qs)[pick],
+      "v": jnp.stack(vels)[pick],
+      "touch": jnp.zeros(5, q0.dtype),
+      "target": jnp.stack(targets)[pick],
+    }
+    return state, cls._obs(cfg, state), dict(cls._DISCOUNT_INFO)
+
+  @staticmethod
+  def _arm_jnt_index(mdl, i):
+    """Joint table index of the i-th arm joint (declaration order)."""
+    return i
+
+  @classmethod
+  def _reward(cls, cfg, state):
+    mdl = cls.mdl(cfg)
+    q = state["q"]
+    mut = cls._mut(cfg, state["target"])
+    xpos, xmat, _, _ = de.fk(mdl, q, mut)
+
+    def sdist(a, b):
+      pa = cls._site_pose(mdl, xpos, xmat, a, q.dtype)
+      pb = cls._site_pose(mdl, xpos, xmat, b, q.dtype)
+      return jnp.linalg.norm(pa - pb)
+
+    def is_close(d):
+      return tolerance(d, 0.0, cls._CLOSE, cls._CLOSE * 2)
+
+    if cls._use_peg(cfg):
+      grasping = (
+        is_close(sdist("peg_grasp", "grasp"))
+        + is_close(sdist("peg_pinch", "pinch"))
+      ) / 2.0
+      bringing = (
+        is_close(sdist("peg", "target_peg"))
+        + is_close(sdist("target_peg_tip", "peg_tip"))
+      ) / 2.0
+      return jnp.maximum(bringing, grasping / 3.0)
+    return is_close(sdist("ball", "target_ball"))
+
+  @classmethod
+  def step(cls, cfg: Any, state: Any, action: Any, key: jax.Array):
+    del key
+    mdl = cls.mdl(cfg)
+    ctrl = jnp.asarray(action, jnp.float32)
+    mut = cls._mut(cfg, state["target"])
+    q, v, aux = de.step_smooth(
+      mdl, state["q"], state["v"], ctrl,
+      nstep=int(cfg.frame_skip), want_aux=True, mut=mut,
+    )
+    q_fwd, _, _, f_rows = aux
+    touch = site_touch_forces(
+      mdl, q_fwd, f_rows, list(cls._TOUCH_SITES), mut=mut
+    )
+    state = {**state, "q": q, "v": v, "touch": touch}
+    reward = cls._reward(cfg, state)
+    return state, cls._obs(cfg, state), reward, jnp.bool_(False), dict(
+      cls._DISCOUNT_INFO
+    )
+
+class DmcHumanoidCMUJaxEnv(_DmcHumanoidRewardMixin, DmcDeviceEnv):
+  """dmc humanoid_CMU stand/run on-device
+  (``envpool/mujoco/dmc/humanoid_CMU.h``): the 56-actuated-DOF CMU
+  skeleton replica (nv=62) — the widest device model; reward is the
+  humanoid recipe on thorax/head with the thorax zy upright term."""
+
+  name = "DmcHumanoidCMUJax"
+  model_xml = assets.humanoid_cmu_xml()
+  _STAND_HEIGHT = 1.4
+  _SPEEDS = {"stand": 0.0, "run": 10.0}
+  _INIT_DRAWS = 16
+
+  @staticmethod
+  def default_config() -> Dict[str, Any]:
+    return {"frame_skip": 10, "task_name": "stand"}
+
+  @staticmethod
+  def state_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    if str(cfg.task_name) not in DmcHumanoidCMUJaxEnv._SPEEDS:
+      raise RuntimeError(
+        f"Unknown task_name {cfg.task_name} for dmc humanoid_CMU."
+      )
+    return {
+      "obs:joint_angles": ArraySpec(np.float32, (56,)),
+      "obs:head_height": ArraySpec(np.float32, ()),
+      "obs:extremities": ArraySpec(np.float32, (12,)),
+      "obs:torso_vertical": ArraySpec(np.float32, (3,)),
+      "obs:com_velocity": ArraySpec(np.float32, (3,)),
+      "obs:velocity": ArraySpec(np.float32, (62,)),
+    }
+
+  @staticmethod
+  def action_spec(cfg: Any) -> Dict[str, ArraySpec]:
+    return {"action": ArraySpec(np.float32, (-1, 56), -1.0, 1.0)}
+
+  _EXT_BODIES = ("lhand", "lfoot", "rhand", "rfoot")
+
+  @classmethod
+  def _obs(cls, cfg, state):
+    mdl = cls.mdl(cfg)
+    q, v = state["q"], state["v"]
+    xpos, xmat, _, _ = de.fk(mdl, q)
+    thorax = mdl.body_name2id["thorax"]
+    frame = xmat[thorax]
+    tpos = xpos[thorax]
+    ext = []
+    for b in cls._EXT_BODIES:
+      ext.append((xpos[mdl.body_name2id[b]] - tpos) @ frame)
+    return {
+      "joint_angles": q[7:],
+      "head_height": xpos[mdl.body_name2id["head"]][2],
+      "extremities": jnp.concatenate(ext),
+      "torso_vertical": frame[2],
+      "com_velocity": de.subtree_linvel(mdl, q, v, "thorax"),
+      "velocity": v,
+    }
+
+  @classmethod
+  def reset(cls, cfg: Any, state: Any, key: jax.Array):
+    from .. import device_collision as dc
+    mdl = cls.mdl(cfg)
+    cd = mdl.contacts
+    q0, v = cls._reset_qv(cfg)
+    qs, oks = [], []
+    for k in jax.random.split(key, cls._INIT_DRAWS):
+      qc = randomize_limited_and_rotational_joints(mdl, q0, k)
+      xpos, xmat, _, _ = de.fk(mdl, qc)
+      _, dist, _, _, _, gate = dc.contact_points(cd, xpos, xmat, qc.dtype)
+      oks.append(jnp.all((dist >= 0) | ~gate))
+      qs.append(qc)
+    pick = jnp.argmax(jnp.stack(oks))
+    state = {"q": jnp.stack(qs)[pick], "v": v}
+    return state, cls._obs(cfg, state), dict(cls._DISCOUNT_INFO)
+
+  @classmethod
+  def step(cls, cfg: Any, state: Any, action: Any, key: jax.Array):
+    del key
+    ctrl = jnp.asarray(action, jnp.float32)
+    state = cls._physics(cfg, state, ctrl)
+    mdl = cls.mdl(cfg)
+    q, v = state["q"], state["v"]
+    xpos, xmat, _, _ = de.fk(mdl, q)
+    # humanoid_CMU.h:199-202: upright = thorax zy component
+    reward = cls._reward(
+      cfg, state, jnp.clip(ctrl, -1.0, 1.0),
+      xpos[mdl.body_name2id["head"]][2],
+      xmat[mdl.body_name2id["thorax"]][2, 1],
+      de.subtree_linvel(mdl, q, v, "thorax"),
     )
     return state, cls._obs(cfg, state), reward, jnp.bool_(False), dict(
       cls._DISCOUNT_INFO

@@ -119,6 +119,12 @@ dmc_device_envs = [
   ("humanoid", "walk", 1000),
   ("humanoid", "run", 1000),
   ("humanoid", "run_pure_state", 1000),
+  ("humanoid_CMU", "stand", 1000),
+  ("humanoid_CMU", "run", 1000),
+  ("manipulator", "bring_ball", 1000),
+  ("manipulator", "bring_peg", 1000),
+  ("manipulator", "insert_ball", 1000),
+  ("manipulator", "insert_peg", 1000),
   ("acrobot", "swingup_sparse", 1000),
   ("cartpole", "balance", 1000),
   ("cartpole", "balance_sparse", 1000),

@@ -46,7 +46,7 @@ def _force_host(env, q, v, ctrl=None):
 
 def _flat(obs_dict):
   return np.concatenate(
-    [np.atleast_1d(np.asarray(x, np.float64)) for x in obs_dict.values()]
+    [np.atleast_1d(np.asarray(x, np.float64)).ravel() for x in obs_dict.values()]
   )
 
 
@@ -492,6 +492,7 @@ def test_device_dmc_through_pool_deterministic() -> None:
   np.testing.assert_array_equal(a, b)
 
 
+@isolated
 def test_ball_in_cup_parity() -> None:
   """ball_in_cup: obs/reward/contact + TAUT-STRING (tendon-limit row)
   trajectories match the host tier; the string is the device engine's
@@ -526,13 +527,18 @@ def test_ball_in_cup_parity() -> None:
     assert float(np.abs(np.asarray(state["v"])).max()) < 50.0
 
 
-def test_humanoid_parity_all_tasks() -> None:
-  """humanoid stand/walk/run/run_pure_state: obs (com-velocity,
-  extremities, head height) and reward match the host tier from a
-  near-keyframe state with the feet in floor contact (plane-box corner
-  narrow phase)."""
+@pytest.mark.parametrize(
+  "task", ("stand", "walk", "run", "run_pure_state")
+)
+@isolated
+def test_humanoid_parity(task) -> None:
+  """humanoid: obs (com-velocity, extremities, head height) and reward
+  match the host tier from a near-keyframe state with the feet in floor
+  contact (plane-box corner narrow phase). Per-task subprocesses: one
+  big eager-scan compile per process (jaxlib CPU crash workaround,
+  tests/_isolation.py)."""
   with jax.enable_x64(True):
-    for task in ("stand", "walk", "run", "run_pure_state"):
+    for task in (task,):
       cfg = _cfg(task, frame_skip=5)
       mdl = dd.DmcHumanoidJaxEnv.mdl(cfg)
       host = _host(hd.DmcHumanoidEnv, task)
@@ -545,7 +551,7 @@ def test_humanoid_parity_all_tasks() -> None:
       state = {"q": jnp.asarray(q), "v": jnp.asarray(v)}
       _force_host(host, q, v)
       key = jax.random.PRNGKey(0)
-      for t in range(12):
+      for t in range(8):
         act = np.clip(
           0.4 * np.sin(0.3 * t + np.arange(21)), -1, 1
         )
@@ -561,3 +567,106 @@ def test_humanoid_parity_all_tasks() -> None:
         assert abs(float(r_dev) - r_host) < 1e-5, (
           f"humanoid {task} reward step {t}"
         )
+
+
+@pytest.mark.parametrize(
+  "task", ("bring_ball", "bring_peg", "insert_ball", "insert_peg")
+)
+@isolated
+def test_manipulator_parity(task) -> None:
+  """manipulator: obs (incl. xquat pairs and log1p touch), gripper
+  tendon actuation and the is_close reward match the host tier with
+  the receptacle/target pose forced identically in both (the device
+  carries it in state via the fk body-pose override)."""
+  with jax.enable_x64(True):
+    cfg = _cfg(task, frame_skip=10)
+    mdl = dd.DmcManipulatorJaxEnv.mdl(cfg)
+    host = _host(hd.DmcManipulatorEnv, task)
+    host.n_sub_steps = 10
+    target = np.array([0.25, 0.2, 0.5])
+    # force host model pose like task_initialize_episode
+    host.model.body_pos[host.id_body_target, 0] = target[0]
+    host.model.body_pos[host.id_body_target, 2] = target[1]
+    host.model.body_quat[host.id_body_target, 0] = math.cos(target[2] / 2)
+    host.model.body_quat[host.id_body_target, 2] = math.sin(target[2] / 2)
+    if host.insert:
+      host.model.body_pos[host.id_receptacle, 0] = target[0]
+      host.model.body_pos[host.id_receptacle, 2] = target[1]
+      host.model.body_quat[host.id_receptacle, 0] = math.cos(target[2] / 2)
+      host.model.body_quat[host.id_receptacle, 2] = math.sin(target[2] / 2)
+    rng = np.random.default_rng(3)
+    q = np.zeros(11)
+    q[:8] = [0.5, 0.4, -0.6, 0.3, -0.3, 0.1, -0.3, 0.1]
+    q[8:] = [0.25, 0.4, 0.3]  # prop above the target / receptacle
+    v = np.zeros(11)
+    state = {
+      "q": jnp.asarray(q), "v": jnp.asarray(v),
+      "touch": jnp.zeros(5, np.float64),
+      "target": jnp.asarray(target),
+    }
+    _force_host(host, q, v)
+    key = jax.random.PRNGKey(0)
+    for t in range(10):
+      act = np.clip(0.5 * np.sin(0.4 * t + np.arange(5)), -1, 1)
+      r_host, _ = host.control_step(act)
+      state, obs_d, r_dev, _, _ = dd.DmcManipulatorJaxEnv.step(
+        cfg, state, jnp.asarray(act), key
+      )
+      obs_h = host.task_observation()
+      if task == "insert_peg" and t >= 4:
+        # once the peg rests on the slot boxes, mj's native-CCD
+        # capsule-box manifolds diverge from the masked-candidate set
+        # (same deviation contract as the cylinder pairs,
+        # test_device_pusher.py): chained trajectories separate, so
+        # assert bounded PER-STEP error and resync to the host state
+        assert (
+          np.abs(_flat(obs_d) - _flat(obs_h)).max() < 0.1
+        ), f"manipulator {task} per-step drift step {t}"
+        assert abs(float(r_dev) - r_host) < 0.05
+        state = {
+          **state,
+          "q": jnp.asarray(np.array(host.data.qpos)),
+          "v": jnp.asarray(np.array(host.data.qvel)),
+        }
+        continue
+      np.testing.assert_allclose(
+        _flat(obs_d), _flat(obs_h), atol=2e-5,
+        err_msg=f"manipulator {task} obs step {t}",
+      )
+      assert abs(float(r_dev) - r_host) < 1e-5, (
+        f"manipulator {task} reward step {t}"
+      )
+
+
+@pytest.mark.parametrize("task", ("stand", "run"))
+@isolated
+def test_humanoid_cmu_parity(task) -> None:
+  """humanoid_CMU (nv=62, the widest device model): obs and reward
+  match the host tier from a near-upright state."""
+  with jax.enable_x64(True):
+    cfg = _cfg(task, frame_skip=10)
+    mdl = dd.DmcHumanoidCMUJaxEnv.mdl(cfg)
+    host = _host(hd.DmcHumanoidCMUEnv, task)
+    host.n_sub_steps = 10
+    rng = np.random.default_rng(5)
+    q = np.asarray(mdl.init_qpos).copy()
+    q[2] = 1.05
+    q[7:] += rng.uniform(-0.04, 0.04, mdl.nq - 7)
+    v = rng.uniform(-0.2, 0.2, mdl.nv)
+    state = {"q": jnp.asarray(q), "v": jnp.asarray(v)}
+    _force_host(host, q, v)
+    key = jax.random.PRNGKey(0)
+    for t in range(4):
+      act = np.clip(0.3 * np.sin(0.2 * t + np.arange(56)), -1, 1)
+      r_host, _ = host.control_step(act)
+      state, obs_d, r_dev, _, _ = dd.DmcHumanoidCMUJaxEnv.step(
+        cfg, state, jnp.asarray(act), key
+      )
+      obs_h = host.task_observation()
+      np.testing.assert_allclose(
+        _flat(obs_d), _flat(obs_h), atol=5e-5,
+        err_msg=f"humanoid_CMU {task} obs step {t}",
+      )
+      assert abs(float(r_dev) - r_host) < 1e-5, (
+        f"humanoid_CMU {task} reward step {t}"
+      )

@@ -59,6 +59,11 @@ DMC_TASKS = [
   "SwimmerJaxSwimmer6-v1",
   "FishJaxSwim-v1",
   "FingerJaxSpin-v1",
+  "BallInCupJaxCatch-v1",
+  "HumanoidJaxRun-v1",
+  "HumanoidCMUJaxRun-v1",
+  "ManipulatorJaxBringBall-v1",
+  "ManipulatorJaxInsertPeg-v1",
 ]
 
 
@@ -97,22 +102,29 @@ def _soak(task: str, num_envs: int, steps: int) -> None:
           fin = fin & jnp.isfinite(s.reshape(s.shape[0], -1)).all(axis=1)
       return (handle, key), fin
 
-    (handle, _), fins = jax.lax.scan(
-      body, (handle, key), None, length=steps
+    (handle, key), fins = jax.lax.scan(
+      body, (handle, key), None, length=min(steps, 250)
     )
-    return handle, fins
+    return handle, key, fins
 
-  _, fins = jax.jit(rollout, donate_argnums=0)(
-    handle0, jax.random.PRNGKey(0)
-  )
-  fins = np.asarray(fins)  # [steps, num_envs]
-  bad_steps = np.where(~fins.all(axis=1))[0]
-  assert fins.all(), (
-    f"{task}: non-finite state/obs in "
-    f"{int((~fins[bad_steps[0]]).sum())}/{num_envs} lanes "
-    f"first at step {int(bad_steps[0])} of {steps} (f32, cold reset, "
-    "uniform random actions)"
-  )
+  # chunked rollout: one long device call can exceed the tunneled-TPU
+  # per-RPC execution deadline (~100 s kills the worker — observed on
+  # hopper at 1024x2000-in-one-call); 250-step chunks thread the handle
+  # through with identical total coverage
+  run = jax.jit(rollout, donate_argnums=0)
+  handle, key = handle0, jax.random.PRNGKey(0)
+  done_steps = 0
+  while done_steps < steps:
+    handle, key, fins = run(handle, key)
+    fins = np.asarray(fins)  # [chunk, num_envs]
+    bad_steps = np.where(~fins.all(axis=1))[0]
+    assert fins.all(), (
+      f"{task}: non-finite state/obs in "
+      f"{int((~fins[bad_steps[0]]).sum())}/{num_envs} lanes "
+      f"first at step {done_steps + int(bad_steps[0])} of {steps} "
+      "(f32, cold reset, uniform random actions)"
+    )
+    done_steps += fins.shape[0]
 
 
 @pytest.mark.parametrize("task", GYM_TASKS)
@@ -123,11 +135,23 @@ def test_f32_soak_gym(task: str) -> None:
   _soak(task, NUM_ENVS, NUM_STEPS)
 
 
+# programs this jaxlib's CPU compiler takes many minutes on (TPU: ~20 s)
+_HEAVY = (
+  "HumanoidJaxRun-v1", "HumanoidCMUJaxRun-v1",
+  "ManipulatorJaxBringBall-v1", "ManipulatorJaxInsertPeg-v1",
+)
+
+
 @pytest.mark.parametrize("task", DMC_TASKS)
 @isolated
 def test_f32_soak_dmc(task: str) -> None:
   if not _registered(task):
     pytest.skip(f"{task} not registered")
+  if task in _HEAVY and not FULL:
+    pytest.skip(
+      "CPU-compile-pathological model; soaked at full scale on the "
+      "real chip (ENVPOOL_TPU_SOAK=full, results in STATUS.md)"
+    )
   _soak(task, NUM_ENVS, NUM_STEPS)
 
 
