@@ -324,9 +324,12 @@ def main() -> None:
   # the reference's accounting for its Ant-v3 sync/async rows.
   run("host_ant_v4_sync_fps", 45.0, bench_host_family, "Ant-v4",
       num_envs=2 * (os.cpu_count() or 4), steps=50)
-  run("host_ant_v4_async_fps", 45.0, bench_host_family, "Ant-v4",
-      num_envs=3 * (os.cpu_count() or 4), steps=150,
-      batch_size=os.cpu_count() or 4)
+  # async config swept in r4: deep pipelines amortize the GIL-held
+  # bookkeeping (batch = 12 envs/core, 2x batch in flight measured best:
+  # 34.8k FPS on 4 cores vs 29.9k at batch == cores)
+  run("host_ant_v4_async_fps", 60.0, bench_host_family, "Ant-v4",
+      num_envs=24 * (os.cpu_count() or 4), steps=60,
+      batch_size=12 * (os.cpu_count() or 4))
   # Eager sync-API latency on-device (dispatch-floored over the TPU tunnel;
   # recorded so the sync-API story has a number, VERDICT weak #7).
   run("eager_cartpole_ms_per_step", 45.0, bench_eager_sync,

@@ -180,25 +180,16 @@ class DmcPendulumJaxEnv(DmcDeviceEnv):
     )
 
 
-def _cartpole_device_xml(task_name: str) -> str:
-  """Cartpole replica with geom collisions masked off: the only candidate
-  pair mj admits is cart-box x pole_2/3 capsule (pole_1 is parent-child
-  filtered), which only activates in deep multi-pole interpenetration —
-  dm cartpole's dynamics are effectively contact-free. The device engine
-  has no box collider, so the device model drops the candidates."""
-  xml = assets.cartpole_xml(task_name)
-  return xml.replace(
-    '<geom name="cart" type="box"',
-    '<geom name="cart" type="box" contype="0" conaffinity="0"',
-  )
-
-
 class DmcCartpoleJaxEnv(DmcDeviceEnv):
   """dmc cartpole on-device (``envpool/mujoco/dmc/cartpole.h``): balance /
-  balance_sparse / swingup / swingup_sparse / two_poles / three_poles."""
+  balance_sparse / swingup / swingup_sparse / two_poles / three_poles.
+  The cart-box x pole-capsule candidate pairs run through the real
+  box-capsule narrow phase (r3 masked them off for lack of a box
+  collider); they only activate under deep multi-pole interpenetration,
+  never reached from suite inits."""
 
   name = "DmcCartpoleJax"
-  model_xml = staticmethod(_cartpole_device_xml)
+  model_xml = staticmethod(assets.cartpole_xml)
 
   @staticmethod
   def default_config() -> Dict[str, Any]:

@@ -75,29 +75,29 @@ def test_ppo_learns_sokoban() -> None:
   """Image-obs learning-quality check on the flagship family — the
   stand-in for the reference's pretrain score tier
   (``atari_pretrain_test.py:85-97``): PPO over the SokobanCNN must push
-  mean reward above the random policy's within a small budget. Random
-  play on the procedural bank collects almost pure step penalties
-  (-0.1/step); learning shows as box pushes / finishes raising the mean."""
-  from envpool_tpu.models import SokobanCNN
+  mean reward above the random policy's within a small budget.
 
-  mesh = make_mesh()
-  spec = envpool_tpu.make_spec(
-    "Sokoban-v0", num_envs=32, seed=0, dim_room=7,
-    max_episode_steps=32, levels_dir="", n_levels_to_load=32,
-  )
-  pool = ShardedEnvPool(spec, mesh=mesh)
-  net = SokobanCNN(num_actions=4)
-  cfg = PPOConfig(
-    num_steps=32, update_epochs=4, num_minibatches=4, lr=2.5e-4,
-    ent_coef=0.01,
-  )
-  state, tx = ppo_init(pool, net, cfg, seed=0)
-  step = jax.jit(make_ppo_train_step(pool, net, cfg, tx, mesh=mesh))
+  Runs in a plain-python child process: the XLA CPU compile of this
+  train step takes ~6 s standalone but >10 minutes inside a pytest
+  process with identical flags/config (jaxlib/pytest interaction; the
+  _isolation tier works around a sibling symptom)."""
+  import os
+  import subprocess
+  import sys
 
-  rewards = []
-  for it in range(14):
-    state, metrics = step(state)
-    rewards.append(float(metrics["mean_reward"]))
-  random_baseline = float(np.mean(rewards[:2]))
-  best = float(np.max(rewards[4:]))
-  assert best > random_baseline + 0.02, rewards
+  env = dict(os.environ)
+  env["JAX_PLATFORMS"] = "cpu"
+  flags = env.get("XLA_FLAGS", "")
+  if "xla_force_host_platform_device_count" not in flags:
+    env["XLA_FLAGS"] = (
+      flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+  child = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "_sokoban_learn_child.py"
+  )
+  proc = subprocess.run(
+    [sys.executable, child],
+    env=env, capture_output=True, text=True, timeout=1500,
+    cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+  )
+  assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-1000:]
