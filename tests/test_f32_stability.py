@@ -103,14 +103,15 @@ def _soak(task: str, num_envs: int, steps: int) -> None:
       return (handle, key), fin
 
     (handle, key), fins = jax.lax.scan(
-      body, (handle, key), None, length=min(steps, 250)
+      body, (handle, key), None, length=min(steps, 100)
     )
     return handle, key, fins
 
   # chunked rollout: one long device call can exceed the tunneled-TPU
   # per-RPC execution deadline (~100 s kills the worker — observed on
-  # hopper at 1024x2000-in-one-call); 250-step chunks thread the handle
-  # through with identical total coverage
+  # hopper at 1024x2000-in-one-call and humanoid_CMU at 250-step
+  # chunks); 100-step chunks thread the handle through with identical
+  # total coverage
   run = jax.jit(rollout, donate_argnums=0)
   handle, key = handle0, jax.random.PRNGKey(0)
   done_steps = 0
