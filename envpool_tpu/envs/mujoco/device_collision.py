@@ -665,12 +665,24 @@ def contact_points(cd: ContactData, xpos, xmat, dtype):
     ])
     pairs_of = rows // 2
     npairs = len(cd.pc_plane)
-    blocks.append((
-      pos2.reshape(npairs * 2, 3)[rows],
-      dist2.reshape(npairs * 2)[rows],
-      n[pairs_of], t1[pairs_of], t2[pairs_of],
-      jnp.ones((len(rows),), bool),
-    ))
+    if len(rows) == npairs * 2:
+      # all-capsule models (every pair emits both endpoints): identity
+      # selection — skip the gather, which TPU lowers poorly on tiny
+      # tensors inside this hot kernel
+      blocks.append((
+        pos2.reshape(npairs * 2, 3),
+        dist2.reshape(npairs * 2),
+        jnp.repeat(n, 2, axis=0), jnp.repeat(t1, 2, axis=0),
+        jnp.repeat(t2, 2, axis=0),
+        jnp.ones((npairs * 2,), bool),
+      ))
+    else:
+      blocks.append((
+        pos2.reshape(npairs * 2, 3)[rows],
+        dist2.reshape(npairs * 2)[rows],
+        n[pairs_of], t1[pairs_of], t2[pairs_of],
+        jnp.ones((len(rows),), bool),
+      ))
 
   # ---- capsule-capsule (incl. spheres): fully vectorized over pairs
   if cd.cc_g1:

@@ -73,8 +73,13 @@ def precise_matmul(fn):
 
   @functools.wraps(fn)
   def wrapped(*args, **kwargs):
+    import os
+
     import jax
-    with jax.default_matmul_precision("highest"):
+    prec = os.environ.get("ENVPOOL_TPU_MM_PRECISION", "highest")
+    if prec == "default":  # escape hatch for perf experiments
+      return fn(*args, **kwargs)
+    with jax.default_matmul_precision(prec):
       return fn(*args, **kwargs)
 
   return wrapped
@@ -674,7 +679,7 @@ def passive_spring_force(mdl: DeviceModel, q):
   return qfrc
 
 
-def _solve_psd(A, b):
+def _solve_psd(A, b, floor=None):
   """Solve with a tiny SPD system: column-vectorized scaled Cholesky.
 
   jnp.linalg.solve lowers to LU, which TPU only implements for f32/c64
@@ -689,17 +694,23 @@ def _solve_psd(A, b):
   the contact Newton iteration's runtime on TPU (measured: 1.33 ms ->
   0.30 ms per iteration for Ant's nv=14 at 2048 envs).
 
-  f32 robustness (the TPU-native consumption path): the system is
-  Jacobi-scaled to unit diagonal first, so every pivot is a direct
-  conditioning measure, and pivots are floored at a dtype-scaled
-  epsilon. Without this, the contact Hessian M + J'WJ of stiff
-  contact rows (D ~ 1e6) on ill-conditioned mass matrices (cheetah's
-  light feet vs heavy torso) loses its last pivots to f32 rounding,
-  sqrt goes NaN, and the NaN saturates the whole env lane — measured
-  28/32 cheetah envs NaN at reset before this guard. The floor only
-  engages when f32 rounding has already destroyed the pivot (healthy
-  pivots of these models are >=1e-4 scaled); x64 parity tests are
-  bit-unaffected.
+  f32 robustness (the TPU-native consumption path): each pivot is
+  floored at a dtype epsilon times a STATIC per-dof scale
+  (``floor``, a numpy constant — for the engine's dof-space systems,
+  1/dof_invweight0, the mass-matrix diagonal's magnitude). The floor
+  must be a trace-time literal: both an explicit Jacobi rescale AND a
+  floor that reads A[j, j] as a traced value measured 2.4-5x on the
+  whole HalfCheetah step (reading the diagonal inside the
+  factorization chain breaks XLA's fusion of the unrolled solve; a
+  literal-floored max is free — measured 216k vs 91k env-steps/s).
+  Without the floor, the contact Hessian M + J'WJ of stiff contact
+  rows (D ~ 1e6) on ill-conditioned mass matrices (cheetah's light
+  feet vs heavy torso) loses its last pivots to f32 rounding, sqrt
+  goes NaN, and the NaN saturates the whole env lane — measured 28/32
+  cheetah envs NaN at reset before this guard (with the bf16-matmul
+  root cause fixed by ``precise_matmul``, the floor is the backstop).
+  The floor only engages when f32 rounding has already destroyed the
+  pivot; x64 parity tests are bit-unaffected.
 
   NOT differentiable-safe: masked lanes above the diagonal still
   compute s/piv inside jnp.where, so reverse-mode AD through the
@@ -709,11 +720,15 @@ def _solve_psd(A, b):
   import jax.numpy as jnp
   n = A.shape[0]
   tiny = 1e-7 if A.dtype == jnp.float32 else 1e-14
+  if floor is None:
+    flo = np.ones(n)
+  else:
+    flo = np.asarray(floor, np.float64)
   if n == 1:
     return b / A[0, 0]
   if n == 2:
     det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
-    det = jnp.maximum(det, tiny * A[0, 0] * A[1, 1])
+    det = jnp.maximum(det, tiny * float(flo[0] * flo[1]))
     x0 = (A[1, 1] * b[0] - A[0, 1] * b[1]) / det
     x1 = (A[0, 0] * b[1] - A[1, 0] * b[0]) / det
     return jnp.stack([x0, x1])
@@ -723,15 +738,12 @@ def _solve_psd(A, b):
   # negative — the scalar form this replaces was exact f32 multiply-adds
   import jax.lax
   dot = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
-  dinv = 1.0 / jnp.sqrt(jnp.diagonal(A))
-  A = A * dinv[:, None] * dinv[None, :]
-  b = b * dinv
   idx = np.arange(n)
   zero = jnp.zeros((), A.dtype)
   L = jnp.zeros_like(A)
   for j in range(n):
     s = A[:, j] - dot(L[:, :j], L[j, :j]) if j else A[:, j]
-    piv = jnp.sqrt(jnp.maximum(s[j], tiny))
+    piv = jnp.sqrt(jnp.maximum(s[j], tiny * float(flo[j])))
     L = L.at[:, j].set(jnp.where(idx >= j, s / piv, zero))
   y = jnp.zeros_like(b)
   for i in range(n):
@@ -742,7 +754,13 @@ def _solve_psd(A, b):
   for i in range(n - 1, -1, -1):
     r = y[i] - dot(L[i + 1:, i], x[i + 1:]) if i < n - 1 else y[i]
     x = x.at[i].set(r / L[i, i])
-  return x * dinv
+  return x
+
+
+def _dof_floor(mdl: DeviceModel) -> np.ndarray:
+  """Static per-dof pivot-floor scale: the mass-matrix diagonal's
+  magnitude, approximated by 1/dof_invweight0 (trace-time constant)."""
+  return 1.0 / np.maximum(np.asarray(mdl.dof_invweight0, np.float64), 1e-9)
 
 
 def _impedance(solimp, x):
@@ -956,7 +974,8 @@ def _contact_solve(mdl: DeviceModel, q, v, M, qfrc_smooth, ctx,
   """
   import jax.numpy as jnp
   from . import device_collision as dc
-  qacc_sm = _solve_psd(M, qfrc_smooth)
+  solve = functools.partial(_solve_psd, floor=_dof_floor(mdl))
+  qacc_sm = solve(M, qfrc_smooth)
   cd = mdl.contacts
   J, aref, D, mask = dc.assemble_rows(mdl, cd, q, v, ctx)
   if warm is None:
@@ -966,7 +985,7 @@ def _contact_solve(mdl: DeviceModel, q, v, M, qfrc_smooth, ctx,
   else:
     start = jnp.where(first, qacc_sm, warm)
   qacc, f = dc.newton_qacc(
-    _solve_psd, M, qacc_sm, J, aref, D, mask,
+    solve, M, qacc_sm, J, aref, D, mask,
     iters=cd.newton_iters, ls_iters=cd.newton_ls, start=start,
   )
   return qacc, J.T @ f, f
@@ -976,7 +995,7 @@ def _contact_solve(mdl: DeviceModel, q, v, M, qfrc_smooth, ctx,
 def _qacc_smooth(mdl: DeviceModel, q, v, tau):
   """Plain forward dynamics: qacc = M^-1 (tau + passive - bias)."""
   M, qfrc_smooth, _ = _qacc_smooth_parts(mdl, q, v, tau)
-  return _solve_psd(M, qfrc_smooth)
+  return _solve_psd(M, qfrc_smooth, floor=_dof_floor(mdl))
 
 
 def _minv(mdl: DeviceModel, M):
@@ -1017,12 +1036,13 @@ def _qacc_full(mdl: DeviceModel, q, v, tau, warm=None, first=None,
       )
       return qacc, fext, f
     return qacc
-  qacc_sm = _solve_psd(M, qfrc_smooth)
+  flo = _dof_floor(mdl)
+  qacc_sm = _solve_psd(M, qfrc_smooth, floor=flo)
   if not any(mdl.jnt_limited):
     return qacc_sm
   cols = _limit_minv_cols(mdl, M)
   qfrc_con = limit_constraint_force(mdl, q, v, cols, qacc_sm)
-  return qacc_sm + _solve_psd(M, qfrc_con)
+  return qacc_sm + _solve_psd(M, qfrc_con, floor=flo)
 
 
 def _has_free(mdl: DeviceModel) -> bool:
@@ -1141,12 +1161,12 @@ def step_smooth(mdl: DeviceModel, q, v, ctrl, nstep: int = 1,
           ), _f)
         qfrc = qfrc + qfrc_con
       elif any(mdl.jnt_limited):
-        qacc_sm = _solve_psd(M, qfrc_smooth)
+        qacc_sm = _solve_psd(M, qfrc_smooth, floor=_dof_floor(mdl))
         qfrc = qfrc + limit_constraint_force(
           mdl, q, v, _limit_minv_cols(mdl, M), qacc_sm
         )
       A = M + h * jnp.diag(damping)
-      qacc = _solve_psd(A, qfrc)
+      qacc = _solve_psd(A, qfrc, floor=_dof_floor(mdl))
       v = v + h * qacc
       q = integrate_pos(mdl, q, v, h)
     return q, v, last, aux
