@@ -132,7 +132,9 @@ class _StateBlock:
   ) -> None:
     self.cols = {k: np.empty((capacity, *shp), dt) for k, shp, dt in layout}
     self.capacity = capacity
-    self.sem = threading.Semaphore(0)
+    # a zero-row batch has no finishing row to release the semaphore, so
+    # start it released — recv of an empty send/reset must not deadlock
+    self.sem = threading.Semaphore(0 if capacity else 1)
     self.errors: List[BaseException] = []
     self._countdown = itertools.count(1)
 

@@ -8,6 +8,7 @@ task registration is gated on it (``envpool/entry.py:17-55`` pattern).
 from envpool_tpu.core.envpool_api import py_env
 from envpool_tpu.core.host_pool import HostEnvPool
 
+from .atari_device_demo import PongDemoEnv
 from .atari_env import AtariEnv
 
 (
@@ -17,10 +18,22 @@ from .atari_env import AtariEnv
   AtariGymnasiumEnvPool,
 ) = py_env(AtariEnv, pool_base=HostEnvPool)
 
+(
+  PongDemoEnvSpec,
+  PongDemoDMEnvPool,
+  PongDemoGymEnvPool,
+  PongDemoGymnasiumEnvPool,
+) = py_env(PongDemoEnv)
+
 __all__ = [
   "AtariEnv",
   "AtariEnvSpec",
   "AtariDMEnvPool",
   "AtariGymEnvPool",
   "AtariGymnasiumEnvPool",
+  "PongDemoEnv",
+  "PongDemoEnvSpec",
+  "PongDemoDMEnvPool",
+  "PongDemoGymEnvPool",
+  "PongDemoGymnasiumEnvPool",
 ]

@@ -2,13 +2,29 @@
 
 Task ids are generated from the ALE rom registry ("pong" -> "Pong-v5"),
 like the reference generates them from its bundled roms directory.
+
+The on-device parity-demo track (SURVEY §7.8(b)) registers first and
+unconditionally — it has no emulator dependency.
 """
 
 from envpool_tpu.registration import register
 
+register(
+  task_id="PongJaxDemo-v5",
+  import_path="envpool_tpu.envs.atari",
+  spec_cls="PongDemoEnvSpec",
+  dm_cls="PongDemoDMEnvPool",
+  gym_cls="PongDemoGymEnvPool",
+  gymnasium_cls="PongDemoGymnasiumEnvPool",
+  max_episode_steps=27000,
+)
+
 
 def _game_list():
-  import ale_py.roms
+  try:
+    import ale_py.roms
+  except ImportError:
+    return []  # emulator tier gated on the optional wheel; demo stays
   get_all = getattr(ale_py.roms, "get_all_rom_ids", None)
   if get_all is not None:
     return sorted(get_all())

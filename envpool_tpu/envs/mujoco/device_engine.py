@@ -725,7 +725,9 @@ def _solve_psd(A, b, floor=None):
   else:
     flo = np.asarray(floor, np.float64)
   if n == 1:
-    return b / A[0, 0]
+    # same pivot floor as the n==2 / Cholesky branches: a 1x1 system
+    # whose diagonal f32-rounds to <=0 must not produce inf/NaN
+    return b / jnp.maximum(A[0, 0], tiny * float(flo[0]))
   if n == 2:
     det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
     det = jnp.maximum(det, tiny * float(flo[0] * flo[1]))

@@ -444,6 +444,25 @@ class DmcReacherJaxEnv(DmcDeviceEnv):
     )
 
 
+def _pick_collision_free(oks, dists, gates):
+  """Index of the first collision-free init candidate.
+
+  The host reference rejection-samples unboundedly (e.g.
+  ``envpool/mujoco/dmc/humanoid.h:98-110``); the device tier draws a
+  static K candidates. When all K collide (P(single draw collides) is
+  small but model-dependent — ADVICE r4), fall back to the LEAST
+  penetrating candidate (max over candidates of the min gated contact
+  distance) instead of silently taking candidate 0.
+  """
+  oks_v = jnp.stack(oks)
+  mindist = jnp.stack([
+    jnp.min(jnp.where(g, d, jnp.inf)) for d, g in zip(dists, gates)
+  ])
+  return jnp.where(
+    jnp.any(oks_v), jnp.argmax(oks_v), jnp.argmax(mindist)
+  )
+
+
 def _point_mass_device_xml() -> str:
   """The point_mass replica with its tendon-transmission actuators
   stripped — the env computes the tendon torques itself (the engine
@@ -884,15 +903,16 @@ class DmcFingerJaxEnv(DmcDeviceEnv):
     q0, v = cls._reset_qv(cfg)
     # collision-free random joint angles: draw K candidates, take the
     # first with every contact candidate separated (ncon == 0)
-    qs, oks = [], []
+    qs, oks, dists, gates = [], [], [], []
     for k in jax.random.split(kj, cls._INIT_DRAWS):
       qc = randomize_limited_and_rotational_joints(mdl, q0, k)
       xpos, xmat, _, _ = de.fk(mdl, qc)
       _, dist, _, _, _, gate = dc.contact_points(cd, xpos, xmat, qc.dtype)
       oks.append(jnp.all((dist >= 0) | ~gate))
       qs.append(qc)
-    oks_v = jnp.stack(oks)
-    pick = jnp.argmax(oks_v)  # first True (all-False picks 0)
+      dists.append(dist)
+      gates.append(gate)
+    pick = _pick_collision_free(oks, dists, gates)
     q = jnp.stack(qs)[pick]
     state = {"q": q, "v": v, "touch": jnp.zeros(2, q.dtype)}
     if cls._is_spin(cfg):
@@ -1280,7 +1300,7 @@ class DmcBallInCupJaxEnv(DmcDeviceEnv):
     q0, v = cls._reset_qv(cfg)
     # collision-free random ball drop (ball_in_cup.h:86-97): K
     # candidate (x, z) draws, first with every contact separated
-    qs, oks = [], []
+    qs, oks, dists, gates = [], [], [], []
     for k in jax.random.split(key, cls._INIT_DRAWS):
       kx, kz = jax.random.split(k)
       qc = q0.at[2].set(jax.random.uniform(kx, (), q0.dtype, -0.2, 0.2))
@@ -1289,7 +1309,9 @@ class DmcBallInCupJaxEnv(DmcDeviceEnv):
       _, dist, _, _, _, gate = dc.contact_points(cd, xpos, xmat, qc.dtype)
       oks.append(jnp.all((dist >= 0) | ~gate))
       qs.append(qc)
-    pick = jnp.argmax(jnp.stack(oks))
+      dists.append(dist)
+      gates.append(gate)
+    pick = _pick_collision_free(oks, dists, gates)
     state = {"q": jnp.stack(qs)[pick], "v": v}
     return state, cls._obs(cfg, state), dict(cls._DISCOUNT_INFO)
 
@@ -1415,14 +1437,16 @@ class DmcHumanoidJaxEnv(_DmcHumanoidRewardMixin, DmcDeviceEnv):
     mdl = cls.mdl(cfg)
     cd = mdl.contacts
     q0, v = cls._reset_qv(cfg)
-    qs, oks = [], []
+    qs, oks, dists, gates = [], [], [], []
     for k in jax.random.split(key, cls._INIT_DRAWS):
       qc = randomize_limited_and_rotational_joints(mdl, q0, k)
       xpos, xmat, _, _ = de.fk(mdl, qc)
       _, dist, _, _, _, gate = dc.contact_points(cd, xpos, xmat, qc.dtype)
       oks.append(jnp.all((dist >= 0) | ~gate))
       qs.append(qc)
-    pick = jnp.argmax(jnp.stack(oks))
+      dists.append(dist)
+      gates.append(gate)
+    pick = _pick_collision_free(oks, dists, gates)
     state = {"q": jnp.stack(qs)[pick], "v": v}
     return state, cls._obs(cfg, state), dict(cls._DISCOUNT_INFO)
 
@@ -1592,7 +1616,7 @@ class DmcManipulatorJaxEnv(DmcDeviceEnv):
     q0, v0 = cls._reset_qv(cfg)
     arm_adr, obj_adr = cls._qadr(cfg)
     insert = cls._insert(cfg)
-    qs, targets, vels, oks = [], [], [], []
+    qs, targets, vels, oks, dists, gates = [], [], [], [], [], []
     for k in jax.random.split(key, cls._INIT_DRAWS):
       ks = jax.random.split(k, 10)
       qc = q0
@@ -1644,7 +1668,9 @@ class DmcManipulatorJaxEnv(DmcDeviceEnv):
       qs.append(qc)
       targets.append(target)
       vels.append(vc)
-    pick = jnp.argmax(jnp.stack(oks))
+      dists.append(dist)
+      gates.append(gate)
+    pick = _pick_collision_free(oks, dists, gates)
     state = {
       "q": jnp.stack(qs)[pick],
       "v": jnp.stack(vels)[pick],
@@ -1768,14 +1794,16 @@ class DmcHumanoidCMUJaxEnv(_DmcHumanoidRewardMixin, DmcDeviceEnv):
     mdl = cls.mdl(cfg)
     cd = mdl.contacts
     q0, v = cls._reset_qv(cfg)
-    qs, oks = [], []
+    qs, oks, dists, gates = [], [], [], []
     for k in jax.random.split(key, cls._INIT_DRAWS):
       qc = randomize_limited_and_rotational_joints(mdl, q0, k)
       xpos, xmat, _, _ = de.fk(mdl, qc)
       _, dist, _, _, _, gate = dc.contact_points(cd, xpos, xmat, qc.dtype)
       oks.append(jnp.all((dist >= 0) | ~gate))
       qs.append(qc)
-    pick = jnp.argmax(jnp.stack(oks))
+      dists.append(dist)
+      gates.append(gate)
+    pick = _pick_collision_free(oks, dists, gates)
     state = {"q": jnp.stack(qs)[pick], "v": v}
     return state, cls._obs(cfg, state), dict(cls._DISCOUNT_INFO)
 

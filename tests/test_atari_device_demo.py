@@ -1,0 +1,145 @@
+"""On-device Atari demo track (SURVEY §7.8(b)).
+
+The track's claim is that the reference's C++ frame pipeline
+(``envpool/atari/atari_env.h:186-205, 269-287``) runs bit-exactly
+on-device: maxpool over the last two skipped frames, BT.601 grayscale,
+INTER_AREA resize as MXU matmuls, frame stacking. The parity test pins
+the device ops against an independent numpy implementation (the host
+Atari tier's own helpers) on random frames.
+"""
+
+import numpy as np
+import pytest
+
+import envpool_tpu
+from envpool_tpu.envs.atari.atari_env import _resize_area_np
+
+
+def _host_gray(rgb: np.ndarray) -> np.ndarray:
+  w = np.asarray([0.299, 0.587, 0.114], np.float32)
+  x = rgb.astype(np.float32) @ w
+  return np.clip(np.floor(x + 0.5), 0, 255).astype(np.uint8)
+
+
+def test_device_pipeline_matches_host_numpy():
+  """maxpool -> gray -> INTER_AREA resize: device vs host parity.
+
+  Grayscale is bit-exact. The resize matmuls may differ by exactly 1
+  uint8 level on the handful of pixels whose float pixel-area sum lands
+  on the .5 rounding boundary (XLA reassociates the reduction) —
+  measured 4/7056 gray, 9/21168 RGB on random frames; everything else
+  is bit-exact. The tolerance pins both the magnitude (<=1) and the
+  rate (<0.5%) so a real pipeline break cannot hide in it.
+  """
+  import jax.numpy as jnp
+
+  from envpool_tpu.ops import image as img_ops
+
+  rng = np.random.default_rng(0)
+  f0 = rng.integers(0, 256, (210, 160, 3), dtype=np.uint8)
+  f1 = rng.integers(0, 256, (210, 160, 3), dtype=np.uint8)
+
+  # grayscale: bit-exact
+  g0, g1 = _host_gray(f0), _host_gray(f1)
+  np.testing.assert_array_equal(
+    np.asarray(img_ops.grayscale(jnp.asarray(f0))), g0
+  )
+
+  def _close(dev, host):
+    d = np.abs(np.asarray(dev).astype(int) - host.astype(int))
+    assert d.max() <= 1, d.max()
+    assert (d > 0).mean() < 0.005, (d > 0).mean()
+
+  # gray-first order (the demo's gray_scale=True path, matching the
+  # host tier that grabs grayscale frames before maxpool)
+  host = _resize_area_np(
+    np.maximum(g0, g1)[..., None], (84, 84)
+  )[..., 0]
+  dev = img_ops.resize_area(
+    img_ops.max_last_two(
+      img_ops.grayscale(jnp.asarray(f0)), img_ops.grayscale(jnp.asarray(f1))
+    )[None],
+    (84, 84),
+  )[0]
+  _close(dev, host)
+
+  # RGB order (gray_scale=False): maxpool then per-channel resize
+  host_rgb = _resize_area_np(np.maximum(f0, f1), (84, 84))
+  dev_rgb = img_ops.resize_area(
+    jnp.moveaxis(img_ops.max_last_two(jnp.asarray(f0), jnp.asarray(f1)),
+                 -1, 0),
+    (84, 84),
+  )
+  _close(dev_rgb, np.transpose(host_rgb, (2, 0, 1)))
+
+
+def test_demo_registered_and_steps():
+  env = envpool_tpu.make_gymnasium("PongJaxDemo-v5", num_envs=4, seed=1)
+  obs, info = env.reset()
+  assert obs.shape == (4, 4, 84, 84) and obs.dtype == np.uint8
+  assert (info["score"] == 0).all()
+  tot = np.zeros(4, np.float32)
+  for _ in range(32):
+    obs, rew, term, trunc, info = env.step(
+      np.full(4, 2, np.int32)  # UP
+    )
+    tot += rew
+  # frames carry structure (paddles + ball + background), not constants
+  assert len(np.unique(obs)) > 2
+  # score bookkeeping matches delivered rewards
+  net = info["score"][:, 0] - info["score"][:, 1]
+  np.testing.assert_array_equal(net.astype(np.float32), tot)
+
+
+def test_demo_rgb_and_reward_clip():
+  env = envpool_tpu.make_gymnasium(
+    "PongJaxDemo-v5", num_envs=2, seed=0, gray_scale=False, stack_num=2,
+    reward_clip=True,
+  )
+  obs, _ = env.reset()
+  assert obs.shape == (2, 6, 84, 84)
+  for _ in range(8):
+    obs, rew, *_ = env.step(np.zeros(2, np.int32))
+    assert set(np.unique(rew)) <= {-1.0, 0.0, 1.0}
+
+
+def test_demo_determinism():
+  def rollout(seed):
+    env = envpool_tpu.make_gymnasium("PongJaxDemo-v5", num_envs=2,
+                                     seed=seed)
+    env.reset()
+    frames = []
+    for t in range(10):
+      obs, *_ = env.step(np.full(2, t % 6, np.int32))
+      frames.append(obs)
+    return np.stack(frames)
+
+  a, b, c = rollout(7), rollout(7), rollout(8)
+  np.testing.assert_array_equal(a, b)
+  assert not np.array_equal(a, c)
+
+
+def test_demo_truncation():
+  env = envpool_tpu.make_gymnasium(
+    "PongJaxDemo-v5", num_envs=2, seed=0, max_episode_steps=5
+  )
+  env.reset()
+  for t in range(5):
+    obs, rew, term, trunc, info = env.step(np.zeros(2, np.int32))
+  assert trunc.all() and info["elapsed_step"].max() == 5
+
+
+def test_demo_xla_loop():
+  import jax
+  import jax.numpy as jnp
+
+  env = envpool_tpu.make_gymnasium("PongJaxDemo-v5", num_envs=4, seed=0)
+  env.reset()
+  handle, recv, send, step = env.xla()
+
+  def body(i, h):
+    return send(recv(h)[0], jnp.full(4, 2, jnp.int32))
+
+  run = jax.jit(lambda h: jax.lax.fori_loop(0, 8, body, h))
+  out = jax.block_until_ready(run(handle))
+  assert int(out.pool.elapsed.max()) == 8
