@@ -337,6 +337,11 @@ def main() -> None:
       min(args.num_envs, 8192), args.steps)
   run("MiniGrid-Empty-8x8-v0", 90.0, bench_device_family,
       "MiniGrid-Empty-8x8-v0", min(args.num_envs, 8192), args.steps)
+  # on-device Atari demo track: 210x160 RGB render + the full wrapper
+  # stack (maxpool skip, grayscale, INTER_AREA matmuls, stacking) per
+  # step, fully fused on-device (SURVEY §7.8(b))
+  run("PongJaxDemo-v5", 90.0, bench_device_family, "PongJaxDemo-v5",
+      min(args.num_envs, 4096), min(args.steps, 128))
   # on-device MuJoCo (pure-JAX physics; host tier below is the mj_step
   # comparison point — reference Ant-v3 sync 296,681 FPS on 96 cores)
   run("ReacherJax-v4", 90.0, bench_device_family, "ReacherJax-v4",

@@ -9,7 +9,6 @@ Atari tier's own helpers) on random frames.
 """
 
 import numpy as np
-import pytest
 
 import envpool_tpu
 from envpool_tpu.envs.atari.atari_env import _resize_area_np

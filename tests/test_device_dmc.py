@@ -46,7 +46,8 @@ def _force_host(env, q, v, ctrl=None):
 
 def _flat(obs_dict):
   return np.concatenate(
-    [np.atleast_1d(np.asarray(x, np.float64)).ravel() for x in obs_dict.values()]
+    [np.atleast_1d(np.asarray(x, np.float64)).ravel()
+     for x in obs_dict.values()]
   )
 
 
