@@ -125,10 +125,13 @@ class _StateBlock:
   slice of the thread-scaling budget (host tier is GIL-bound between
   mj_step calls)."""
 
-  __slots__ = ("cols", "capacity", "sem", "errors", "_countdown")
+  __slots__ = (
+    "cols", "capacity", "sem", "errors", "_countdown", "common", "plan",
+  )
 
   def __init__(
-    self, layout: List[Tuple[str, Tuple[int, ...], Any]], capacity: int
+    self, layout: List[Tuple[str, Tuple[int, ...], Any]], capacity: int,
+    env_plan: Optional[List[Tuple[str, int, str]]] = None,
   ) -> None:
     self.cols = {k: np.empty((capacity, *shp), dt) for k, shp, dt in layout}
     self.capacity = capacity
@@ -137,6 +140,24 @@ class _StateBlock:
     self.sem = threading.Semaphore(0 if capacity else 1)
     self.errors: List[BaseException] = []
     self._countdown = itertools.count(1)
+    # column refs prebound once per BLOCK so the per-ROW write path does
+    # no dict hashing (the host tier is GIL-bound between env steps;
+    # every per-row lookup is serialized across all workers)
+    cols = self.cols
+    self.common = (
+      cols["info:env_id"],
+      cols.get("info:players.env_id"),
+      cols["elapsed_step"],
+      cols["done"],
+      cols["reward"],
+      cols["discount"],
+      cols["step_type"],
+      cols["trunc"],
+    )
+    self.plan = (
+      tuple((cols[k], kind, sub) for k, kind, sub in env_plan)
+      if env_plan else ()
+    )
 
   def row_done(self) -> None:
     if next(self._countdown) == self.capacity:
@@ -290,27 +311,30 @@ class HostEnvPool:
         done = bool(term) or elapsed >= self._max_steps
         self._done[env_id] = done
         self._elapsed[env_id] = elapsed
-        cols = block.cols
-        cols["info:env_id"][slot] = env_id
-        if "info:players.env_id" in cols:
-          cols["info:players.env_id"][slot] = env_id
-        cols["elapsed_step"][slot] = elapsed
-        cols["done"][slot] = done
-        cols["reward"][slot] = reward
-        cols["discount"][slot] = 0.0 if done else 1.0
-        cols["step_type"][slot] = 0 if elapsed == 0 else (2 if done else 1)
-        cols["trunc"][slot] = done and elapsed >= self._max_steps
-        for k, kind, sub in self._env_plan:
+        (c_eid, c_peid, c_el, c_done, c_rew, c_disc, c_st, c_tr) = (
+          block.common
+        )
+        c_eid[slot] = env_id
+        if c_peid is not None:
+          c_peid[slot] = env_id
+        c_el[slot] = elapsed
+        c_done[slot] = done
+        c_rew[slot] = reward
+        c_disc[slot] = 0.0 if done else 1.0
+        c_st[slot] = 0 if elapsed == 0 else (2 if done else 1)
+        c_tr[slot] = done and elapsed >= self._max_steps
+        for col, kind, sub in block.plan:
           if kind == 0:
-            cols[k][slot] = obs
+            col[slot] = obs
           elif kind == 1:
-            cols[k][slot] = obs[sub]
+            col[slot] = obs[sub]
           else:
-            cols[k][slot] = info[sub]
+            col[slot] = info[sub]
         # envs may override common fields (e.g. atari's episodic-life
         # elapsed_step/trunc/discount rewrites, atari_env.h:210-250)
         override = info.get("_override") if isinstance(info, dict) else None
         if override:
+          cols = block.cols
           for k, v in override.items():
             cols[k][slot] = v
           if "done" in override:
@@ -335,7 +359,9 @@ class HostEnvPool:
     if self._is_sync:
       # one block per send, sized to it (partial sync batches allowed —
       # the phantom-done equivalent of async_envpool.h:163-175)
-      block: Optional[_StateBlock] = _StateBlock(self._layout, n)
+      block: Optional[_StateBlock] = _StateBlock(
+        self._layout, n, self._env_plan
+      )
       self._block_map[self._blocks_created] = block
       self._blocks_created += 1
     else:
@@ -343,7 +369,7 @@ class HostEnvPool:
       self._rows_submitted += n
       while self._rows_capacity < self._rows_submitted:
         self._block_map[self._blocks_created] = _StateBlock(
-          self._layout, self._batch_size
+          self._layout, self._batch_size, self._env_plan
         )
         self._blocks_created += 1
         self._rows_capacity += self._batch_size
