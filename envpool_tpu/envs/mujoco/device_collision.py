@@ -62,7 +62,7 @@ from typing import NamedTuple, Tuple
 
 import numpy as np
 
-from .device_engine import precise_matmul
+from .device_engine import _mm3, _mv, _vm, precise_matmul
 
 # mjtGeom enum values (mujoco/mjmodel.h)
 _GEOM_PLANE, _GEOM_SPHERE, _GEOM_CAPSULE, _GEOM_CYLINDER = 0, 2, 3, 5
@@ -504,8 +504,8 @@ def _geom_pose(cd: ContactData, xpos, xmat, g: int, dtype):
   """World pose of geom g from its body's pose."""
   import jax.numpy as jnp
   b = int(cd.geom_body[g])
-  gpos = xpos[b] + xmat[b] @ jnp.asarray(cd.geom_pos[g], dtype)
-  grot = xmat[b] @ jnp.asarray(cd.geom_rotm[g], dtype)
+  gpos = xpos[b] + _mv(xmat[b], jnp.asarray(cd.geom_pos[g], dtype))
+  grot = _mm3(xmat[b], jnp.asarray(cd.geom_rotm[g], dtype))
   return gpos, grot
 
 
@@ -1054,7 +1054,7 @@ def assemble_rows(mdl, cd: ContactData, q, v, ctx):
       Jp = []
       for e in range(2):
         b = int(cd.ten_site_body[t, e])
-        p = xpos[b] + xmat[b] @ jnp.asarray(cd.ten_site_pos[t, e], dtype)
+        p = xpos[b] + _mv(xmat[b], jnp.asarray(cd.ten_site_pos[t, e], dtype))
         Vd = Sm_t[:, 3:] + jnp.cross(Sm_t[:, :3], p[None, :])  # [nv, 3]
         anc_e = jnp.asarray(cd.ten_anc[t, e], dtype)            # [nv]
         ps.append(p)
@@ -1062,7 +1062,7 @@ def assemble_rows(mdl, cd: ContactData, q, v, ctx):
       diff = ps[1] - ps[0]
       length = jnp.sqrt(diff @ diff + 1e-30)
       u = diff / length
-      dLdq = (Jp[1] - Jp[0]) @ u                                # [nv]
+      dLdq = _mv(Jp[1] - Jp[0], u)                              # [nv]
       lo = jnp.asarray(cd.ten_lo[t], dtype)
       hi = jnp.asarray(cd.ten_hi[t], dtype)
       margin = jnp.asarray(cd.ten_margin[t], dtype)
@@ -1121,7 +1121,7 @@ def assemble_rows(mdl, cd: ContactData, q, v, ctx):
     if len(one):
       rows = Jn[one]
       J_l.append(rows)
-      aref_l.append(-Bc[one] * (rows @ v) - kpos[one])
+      aref_l.append(-Bc[one] * _mv(rows, v) - kpos[one])
       D_l.append(Dp[one])
       mask_l.append(active[one])
     if len(pyr):
@@ -1135,7 +1135,7 @@ def assemble_rows(mdl, cd: ContactData, q, v, ctx):
       ], axis=1).reshape(4 * len(pyr), nv)     # [4Pp, nv]
       rep = lambda x: jnp.repeat(x[pyr], 4)    # noqa: E731
       J_l.append(rows)
-      aref_l.append(-rep(Bc) * (rows @ v) - rep(kpos))
+      aref_l.append(-rep(Bc) * _mv(rows, v) - rep(kpos))
       D_l.append(rep(Dp))
       mask_l.append(jnp.repeat(active[pyr], 4))
 
@@ -1182,14 +1182,24 @@ def newton_qacc(solve_psd, M, a0, J, aref, D, mask,
     return alpha, r, p, q1, q2
 
   def body(_, a):
-    r = J @ a - aref
+    r = _mv(J, a) - aref
     w = Dm * (r < 0)
-    grad = M @ (a - a0) + J.T @ (w * r)
-    H = M + (J.T * w) @ J
+    da = a - a0
+    Mda = _mv(M, da)
+    grad = Mda + _vm(w * r, J)
+    # Hessian as broadcast-multiply + reduce over rows: H[n,m] =
+    # M[n,m] + sum_r w_r J[r,n] J[r,m]. On TPU the [R,nv]x[nv,R] dot
+    # pads to 128x128 MXU tiles at <1% utilization AND the bf16
+    # truncation de-PSDs H (the dmc-cheetah NaN source) — the VPU
+    # elementwise form is both true-f32 and ~1.6x faster end-to-end
+    # (measured 2.23M vs 1.40M steps/s on CheetahJaxRun-v1).
+    H = M + (
+      J[..., :, :, None] * J[..., :, None, :] * w[..., :, None, None]
+    ).sum(-3)
     delta = -solve_psd(H, grad)
-    p = J @ delta
-    q2 = delta @ (M @ delta)
-    q1 = delta @ (M @ (a - a0))
+    p = _mv(J, delta)
+    q2 = delta @ _mv(M, delta)
+    q1 = delta @ Mda
     alpha = jnp.asarray(1.0, a.dtype)
     alpha, *_ = lax.fori_loop(
       0, ls_iters, ls_body, (alpha, r, p, q1, q2)
@@ -1197,7 +1207,7 @@ def newton_qacc(solve_psd, M, a0, J, aref, D, mask,
     return a + alpha * delta
 
   a = lax.fori_loop(0, iters, body, a0 if start is None else start)
-  r = J @ a - aref
+  r = _mv(J, a) - aref
   f = jnp.maximum(0.0, -(Dm * r))
   return a, f
 
