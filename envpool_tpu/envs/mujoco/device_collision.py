@@ -1149,6 +1149,13 @@ def assemble_rows(mdl, cd: ContactData, q, v, ctx):
 # ---------------------------------------------------------------- solver
 
 
+# Hessian-assembly strategy cutover (FMA count R*nv^2); tuned on-chip —
+# see newton_qacc. Env var for experiments.
+_HESS_EW_LIMIT = int(
+  __import__("os").environ.get("ENVPOOL_TPU_HESS_EW_LIMIT", "20000")
+)
+
+
 @precise_matmul
 def newton_qacc(solve_psd, M, a0, J, aref, D, mask,
                 iters: int = 6, ls_iters: int = 6, start=None):
@@ -1187,15 +1194,24 @@ def newton_qacc(solve_psd, M, a0, J, aref, D, mask,
     da = a - a0
     Mda = _mv(M, da)
     grad = Mda + _vm(w * r, J)
-    # Hessian as broadcast-multiply + reduce over rows: H[n,m] =
-    # M[n,m] + sum_r w_r J[r,n] J[r,m]. On TPU the [R,nv]x[nv,R] dot
-    # pads to 128x128 MXU tiles at <1% utilization AND the bf16
-    # truncation de-PSDs H (the dmc-cheetah NaN source) — the VPU
-    # elementwise form is both true-f32 and ~1.6x faster end-to-end
-    # (measured 2.23M vs 1.40M steps/s on CheetahJaxRun-v1).
-    H = M + (
-      J[..., :, :, None] * J[..., :, None, :] * w[..., :, None, None]
-    ).sum(-3)
+    # Hessian: H[n,m] = M[n,m] + sum_r w_r J[r,n] J[r,m]. On TPU the
+    # [R,nv]x[nv,R] dot pads to 128x128 MXU tiles at <1% utilization
+    # AND the bf16 truncation de-PSDs H (the dmc-cheetah NaN source) —
+    # the VPU elementwise form is both true-f32 and ~1.6x faster
+    # end-to-end (measured 2.23M vs 1.40M steps/s on CheetahJaxRun-v1).
+    # Above ~1e5 FMAs (humanoid: nv=27, R~350) the VPU form's work
+    # grows cubically while MXU padding waste amortizes, so wide
+    # problems switch to a HIGHEST-precision (f32-true) dot.
+    if J.shape[-1] ** 2 * J.shape[-2] > _HESS_EW_LIMIT:
+      import jax
+      Jw = J * w[..., :, None]
+      H = M + jnp.matmul(
+        J.swapaxes(-1, -2), Jw, precision=jax.lax.Precision.HIGHEST
+      )
+    else:
+      H = M + (
+        J[..., :, :, None] * J[..., :, None, :] * w[..., :, None, None]
+      ).sum(-3)
     delta = -solve_psd(H, grad)
     p = _mv(J, delta)
     q2 = delta @ _mv(M, delta)

@@ -1209,6 +1209,33 @@ def step_smooth(mdl: DeviceModel, q, v, ctrl, nstep: int = 1,
       qacc = _solve_psd(A, qfrc, floor=_dof_floor(mdl))
       v = v + h * qacc
       q = integrate_pos(mdl, q, v, h)
+    # mj_step's divergence guard (mj_checkPos/mj_checkVel/mj_checkAcc,
+    # mjMAXVAL = 1e10): a non-finite or huge state resets that lane to
+    # (qpos0, 0) — mj_resetData semantics. MuJoCo itself diverges for
+    # perfectly replicated dynamics (verified bit-identical on the dmc
+    # reacher wrist-limit blowup: a 510 rad/s limit overshoot explodes
+    # in BOTH engines; mj then recovers via exactly this warning+reset
+    # path, which is why "mj_step never NaNs"). The reference's mujoco
+    # tier inherits that behavior (mujoco_env.h:68-94); without it one
+    # diverged lane NaN-saturates and stays dead until episode end.
+    bad = jnp.zeros((), bool)
+    for arr in (q, v):
+      bad = bad | ~jnp.isfinite(arr).all() | (jnp.abs(arr) > 1e10).any()
+    q = jnp.where(bad, jnp.asarray(mdl.init_qpos, dt), q)
+    v = jnp.where(bad, jnp.zeros(mdl.nv, dt), v)
+    if last is not None:
+      last = jnp.where(bad, jnp.zeros(mdl.nv, dt), last)
+    if aux is not None:
+      # derived fields of a diverged lane (stale-state obs inputs):
+      # post-reset mjData holds reset-state values — zero the forces
+      # and pin the stale (q, v) to the reset state
+      aq, av, fext, f_rows = aux
+      aux = (
+        jnp.where(bad, jnp.asarray(mdl.init_qpos, dt), aq),
+        jnp.where(bad, jnp.zeros(mdl.nv, dt), av),
+        jnp.where(bad, jnp.zeros_like(fext), fext),
+        jnp.where(bad, jnp.zeros_like(f_rows), f_rows),
+      )
     return q, v, last, aux
 
   if nstep > 1 and contacts:

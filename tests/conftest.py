@@ -14,14 +14,19 @@ if "xla_force_host_platform_device_count" not in flags:
   ).strip()
 # the ambient environment may pre-set JAX_PLATFORMS (e.g. to the tunneled
 # TPU); tests MUST run on the virtual CPU mesh, so force-override.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# ENVPOOL_TPU_TEST_PLATFORM escapes the override for tiers that are only
+# meaningful on real hardware (the full f32 soak: CPU f32 dots are always
+# true-f32, so only the chip exercises the MXU's bf16 truncation).
+os.environ["JAX_PLATFORMS"] = os.environ.get(
+  "ENVPOOL_TPU_TEST_PLATFORM", "cpu"
+)
 
 import jax
 
 # jax may already be imported (e.g. by a pytest plugin), in which case it
 # latched JAX_PLATFORMS at import; update the config directly too (works
 # as long as no backend has been initialized yet).
-jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 # Persistent compilation cache: enabled only inside @isolated subprocess
 # children (tests/_isolation.py) or when explicitly requested. This

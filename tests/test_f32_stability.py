@@ -166,6 +166,8 @@ def test_cheetah_settle_reset_finite_f32() -> None:
     "CheetahJaxRun-v1", env_type="gymnasium", num_envs=64, seed=0
   )
   obs, _ = env.reset()
-  assert np.isfinite(np.asarray(obs, np.float64)).all(), (
-    "non-finite observation straight out of reset"
-  )
+  leaves = obs.values() if isinstance(obs, dict) else [obs]
+  for leaf in leaves:
+    assert np.isfinite(np.asarray(leaf, np.float64)).all(), (
+      "non-finite observation straight out of reset"
+    )
